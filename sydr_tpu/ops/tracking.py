@@ -1,0 +1,254 @@
+"""Tracking-loop DSP: EPL correlators, discriminators, loop filters.
+
+TPU-native re-derivation of the reference tracking kernels
+(``/root/reference/sydr/dsp/tracking.py`` and ``c_functions/tracking.c``).
+Key structural differences from the reference:
+
+* Fixed-shape windows. The reference consumes a *variable* number of samples
+  per code period (``track_requiredSamples``); XLA requires static shapes, so
+  correlators here read a fixed ``window_size`` sample window and mask samples
+  beyond the (dynamic) ``required`` length.
+* Boundary-gather correlator. The naive formulation gathers one chip per
+  sample (10k gathers/channel/ms). Since the chip index is non-decreasing in
+  the sample index, the correlation is re-expressed as segment sums of the
+  mixed signal between *chip boundaries*: one complex cumulative sum over the
+  window plus ~1k boundary gathers per spacing, with all three spacings
+  sharing the cumsum. This is the default device path; the direct gather
+  version is kept as a reference oracle (``method="gather"``).
+
+Indexing convention matches the reference exactly: chip lookups index a
+1025-long padded code (one wraparound chip each side) with
+``ceil(rem_code + spacing + n * code_step)`` (see ``EPL``, reference
+``dsp/tracking.py:110-114``, and the padded code at
+``channel_l1ca_borre.py:173``).
+
+All functions are pure, jit-able and vmap-able over a channel axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * jnp.pi
+N_PADDED = 1025  # padded code length
+
+
+# ---------------------------------------------------------------------------
+# Carrier replica and mixing
+# ---------------------------------------------------------------------------
+
+def mix_carrier(window: jax.Array, carrier_freq, rem_carrier, sampling_frequency):
+    """Wipe the carrier off an IQ window.
+
+    Returns the mixed complex signal ``exp(j*(-2*pi*f*n/fs + rem)) * window``.
+    """
+    n = jnp.arange(window.shape[-1], dtype=jnp.float32)
+    phase = rem_carrier - (TWO_PI * carrier_freq / sampling_frequency) * n
+    replica = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return replica * window
+
+
+def advance_carrier_phase(rem_carrier, carrier_freq, n_samples, sampling_frequency):
+    """Carrier phase remainder after ``n_samples`` (reference
+    ``channel_l1ca_borre.py:364-365``)."""
+    rem = rem_carrier - TWO_PI * carrier_freq * (
+        n_samples.astype(jnp.float32) / sampling_frequency
+    )
+    return jnp.mod(rem, TWO_PI)
+
+
+# ---------------------------------------------------------------------------
+# EPL correlators
+# ---------------------------------------------------------------------------
+
+def _epl_gather(mixed, code_padded, required, rem_code, code_step, spacings):
+    """Oracle implementation: one chip gather per sample."""
+    w = mixed.shape[-1]
+    n = jnp.arange(w, dtype=jnp.float32)
+    valid = (jnp.arange(w) < required).astype(jnp.float32)
+    outs = []
+    for sp in spacings:
+        idx = jnp.ceil(rem_code + sp + n * code_step).astype(jnp.int32)
+        chips = code_padded[jnp.clip(idx, 0, N_PADDED - 1)]
+        weighted = chips * valid
+        outs.append(jnp.sum(weighted * mixed.real))
+        outs.append(jnp.sum(weighted * mixed.imag))
+    return jnp.stack(outs)
+
+
+def _epl_cumsum(mixed, code_padded, required, rem_code, code_step, spacings):
+    """Boundary-gather implementation (shared cumulative sum).
+
+    For chip index ``c(n) = ceil(r + n*step)``, the first sample with
+    ``c(n) >= k`` is ``floor((k - 1 - r) / step) + 1``; the correlation is the
+    code-weighted sum of cumsum segments between consecutive boundaries.
+    """
+    w = mixed.shape[-1]
+    valid = (jnp.arange(w) < required)[..., None]
+    masked = jnp.where(valid, mixed[..., None], 0.0)
+    csum = jnp.cumsum(masked.squeeze(-1), axis=-1)
+    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+
+    k = jnp.arange(N_PADDED + 1, dtype=jnp.float32)
+    outs = []
+    for sp in spacings:
+        r = rem_code + sp
+        bounds = jnp.floor((k - 1.0 - r) / code_step).astype(jnp.int32) + 1
+        bounds = jnp.clip(bounds, 0, required)
+        seg = csum[bounds[1:]] - csum[bounds[:-1]]
+        outs.append(jnp.sum(code_padded * seg.real))
+        outs.append(jnp.sum(code_padded * seg.imag))
+    return jnp.stack(outs)
+
+
+def epl_correlate(
+    window: jax.Array,
+    code_padded: jax.Array,
+    required,
+    carrier_freq,
+    rem_carrier,
+    rem_code,
+    code_step,
+    spacings=(-0.5, 0.0, 0.5),
+    sampling_frequency: float = 10e6,
+    method: str = "cumsum",
+):
+    """Early/Prompt/Late correlation over a fixed window.
+
+    Args:
+        window: ``[window_size]`` complex64 IQ samples starting at the code
+            period boundary.
+        code_padded: ``[1025]`` float32 padded +/-1 chips.
+        required: dynamic int32 number of valid samples (<= window_size).
+        spacings: static correlator spacings in chips.
+
+    Returns:
+        ``[2 * len(spacings)]`` float32: (i, q) per spacing in order.
+    """
+    mixed = mix_carrier(window, carrier_freq, rem_carrier, sampling_frequency)
+    impl = _epl_cumsum if method == "cumsum" else _epl_gather
+    return impl(mixed, code_padded, required, rem_code, code_step, spacings)
+
+
+# ---------------------------------------------------------------------------
+# Discriminators (reference dsp/tracking.py:120-176)
+# ---------------------------------------------------------------------------
+
+def dll_nneml(i_early, q_early, i_late, q_late):
+    """Normalised non-coherent early-minus-late power discriminator [chips]."""
+    e = jnp.sqrt(i_early**2 + q_early**2)
+    l = jnp.sqrt(i_late**2 + q_late**2)
+    return jnp.where(e + l > 0.0, (e - l) / (e + l), 0.0)
+
+
+def pll_costas(i_prompt, q_prompt):
+    """Costas-loop phase discriminator [cycles]."""
+    i_prompt = jnp.asarray(i_prompt)
+    ratio = jnp.where(i_prompt != 0.0, q_prompt / jnp.where(i_prompt != 0.0, i_prompt, 1.0), 0.0)
+    return jnp.arctan(ratio) / TWO_PI
+
+
+def _half_cycle_unwrap(x):
+    x = jnp.where(x >= jnp.pi / 2.0, x - jnp.pi, x)
+    return jnp.where(x <= -jnp.pi / 2.0, x + jnp.pi, x)
+
+
+def fll_atan(i_prompt, q_prompt, i_prompt_prev, q_prompt_prev, delta_t):
+    """Single-arctangent frequency discriminator [Hz]."""
+    i_prompt = jnp.asarray(i_prompt)
+    i_prompt_prev = jnp.asarray(i_prompt_prev)
+    safe = jnp.where(i_prompt != 0.0, i_prompt, 1.0)
+    safe_prev = jnp.where(i_prompt_prev != 0.0, i_prompt_prev, 1.0)
+    a = jnp.where(i_prompt != 0.0, q_prompt / safe, 0.0)
+    b = jnp.where(i_prompt_prev != 0.0, q_prompt_prev / safe_prev, 0.0)
+    diff = jnp.arctan(a) - jnp.arctan(b)
+    diff = jnp.where(jnp.isnan(diff), 0.0, diff)
+    return _half_cycle_unwrap(diff) / delta_t / TWO_PI
+
+
+def fll_atan2(i_prompt, q_prompt, i_prompt_prev, q_prompt_prev, delta_t):
+    """Four-quadrant cross/dot frequency discriminator [Hz]."""
+    cross = i_prompt_prev * q_prompt - q_prompt_prev * i_prompt
+    dot = i_prompt_prev * i_prompt + q_prompt_prev * q_prompt
+    return jnp.arctan2(dot, cross) / delta_t / TWO_PI
+
+
+# ---------------------------------------------------------------------------
+# Loop filters
+# ---------------------------------------------------------------------------
+
+def loop_filter_taus(noise_bandwidth: float, damping: float, gain: float):
+    """Borre-style 2nd-order loop filter time constants (tau1, tau2)."""
+    wn = noise_bandwidth * 8.0 * damping / (4.0 * damping**2 + 1.0)
+    return gain / wn**2, 2.0 * damping / wn
+
+
+def borre_loop_filter(value, memory, tau1, tau2, pdi):
+    """PI loop filter used by the Borre channel profile."""
+    return (tau2 / tau1) * (value - memory) + (pdi / tau1) * value
+
+
+def fll_assisted_pll_2nd(phase_err, freq_err, w0f, w0p, a2, t_int, vel_memory):
+    """2nd-order PLL assisted by a 1st-order FLL (Kaplan 2006 DLF).
+
+    Returns (output, new_vel_memory).
+    """
+    update = (phase_err * w0p**2 + freq_err * w0f) * t_int
+    out = update + vel_memory + phase_err * a2 * w0p
+    return out, update
+
+
+def fll_assisted_pll_3rd(
+    phase_err, freq_err, w0f, w0p, a2, a3, b3, t_int, vel_memory, acc_memory
+):
+    """3rd-order PLL assisted by a 2nd-order FLL (Kaplan 2006 DLF).
+
+    Returns (output, new_vel_memory, new_acc_memory).
+    """
+    acc_update = (phase_err * w0p**3 + freq_err * w0f**2) * t_int
+    first = acc_update + acc_memory
+    vel_update = (first + phase_err * a3 * w0p**2 + freq_err * a2 * w0f) * t_int
+    out = vel_update + vel_memory + phase_err * b3 * w0p
+    return out, vel_update, acc_update
+
+
+# ---------------------------------------------------------------------------
+# Lock indicators and C/N0 estimators (reference dsp/lockindicator.py)
+# ---------------------------------------------------------------------------
+
+def low_pass(new, old, alpha):
+    return (1.0 - alpha) * old + alpha * new
+
+
+def pll_lock_indicator(i_prompt, q_prompt, previous, alpha=0.01):
+    """Narrow-band-difference over narrow-band-power, low-pass filtered."""
+    nbd = i_prompt**2 - q_prompt**2
+    nbp = i_prompt**2 + q_prompt**2
+    value = jnp.where(nbp > 0.0, nbd / nbp, 0.0)
+    return low_pass(value, previous, alpha)
+
+
+def fll_lock_indicator(
+    i_prompt, q_prompt, i_prompt_prev, q_prompt_prev, previous, alpha=0.01
+):
+    dot = i_prompt * i_prompt_prev - q_prompt * q_prompt_prev
+    cross_sign = jnp.sign(i_prompt * i_prompt_prev + q_prompt * q_prompt_prev)
+    power = i_prompt**2 + q_prompt**2
+    value = jnp.where(power > 0.0, jnp.abs(dot * cross_sign / power), 0.0)
+    return low_pass(value, previous, alpha)
+
+
+def cn0_nwpr(i_sum, q_sum, i_sq_sum, q_sq_sum, n_accum=20, t_int=1e-3):
+    """Narrow-band / wide-band power-ratio C/N0 estimate [dB-Hz]."""
+    nbp = i_sum**2 + q_sum**2
+    wbp = i_sq_sum + q_sq_sum
+    np_ratio = jnp.where(wbp > 0.0, nbp / wbp, 1.0)
+    arg = (np_ratio - 1.0) / (n_accum - np_ratio) / t_int
+    return 10.0 * jnp.log10(jnp.maximum(arg, 1e-12))
+
+
+def cn0_beaulieu(ratio, n, t_int, previous, alpha=0.1):
+    """Beaulieu-method C/N0 estimate, low-pass filtered [linear Hz]."""
+    value = jnp.where(ratio > 0.0, n / ratio, 0.0) / t_int
+    return low_pass(value, previous, alpha)

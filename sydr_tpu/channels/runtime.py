@@ -1,0 +1,286 @@
+"""Lockstep multi-channel tracking runtime: one scanned SPMD program.
+
+This replaces the reference's parallel runtime — one OS process per channel
+with shared-memory ring buffer, per-ms Event barriers and a result queue
+(``/root/reference/sydr/channel/channelManager.py:149-188``,
+``channel/channel.py:121-160``) — with a single jitted function:
+
+    state, outputs = run_block(config, codes, state, window_re, window_im)
+
+``lax.scan`` advances time in 1-ms epochs over a block of samples resident in
+device memory; a vmapped channel axis processes every satellite in lockstep.
+The per-ms Event fan-out/fan-in barrier disappears: lockstep SPMD *is* the
+barrier. The result queue becomes the fixed-shape ``outputs`` pytree
+(``[block_ms, n_channels]`` per field), transferred to the host once per
+block.
+
+Variable-length epochs (the reference's ``track_requiredSamples``,
+``channel_l1ca_borre.py:428-429``) are handled with fixed-shape windows plus
+masking: each channel reads a static-size window at a dynamic offset and the
+correlator masks samples beyond its dynamic ``required`` count.
+
+The sliding window buffer is ``[tail_ms + block_ms]`` milliseconds of IQ; the
+tail carries the last ``tail_ms`` ms of the previous block so channels whose
+read cursor lags the write head (bounded by ~2 ms in steady state) stay in
+range — the TPU equivalent of the reference's 100-ms shared-memory circular
+buffer (``channelManager.py:54-61``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from sydr_tpu.constants import (
+    GPS_L1CA_CARRIER_FREQ,
+    GPS_L1CA_CODE_FREQ,
+    GPS_L1CA_CODE_LENGTH,
+)
+from sydr_tpu.channels.state import (
+    FLAG_BIT_SYNC,
+    FLAG_CODE_LOCK,
+    MODE_TRACKING,
+    ChannelState,
+)
+from sydr_tpu.ops import tracking as trk
+
+TWO_PI = 2.0 * jnp.pi
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    """Static tracking configuration (hashable; closed over by jit)."""
+
+    sampling_frequency: float = 10e6
+    intermediate_frequency: float = 0.0
+    block_ms: int = 20
+    tail_ms: int = 4
+    window_size: int = 10240       # >= samples_per_ms * (1 + margin)
+    spacings: tuple = (-0.5, 0.0, 0.5)
+    # Borre loop filters (reference channel_GPS_L1CA_borre.ini).
+    dll_bandwidth: float = 1.0
+    dll_damping: float = 0.7
+    dll_gain: float = 1.0
+    dll_pdi: float = 1e-3
+    pll_bandwidth: float = 8.0
+    pll_damping: float = 0.7
+    pll_gain: float = 0.25
+    pll_pdi: float = 1e-3
+    # Carrier-aided code NCO (not in the reference; standard technique the
+    # TPU design enables by default — scales the code rate by the measured
+    # carrier Doppler so the DLL only tracks residuals).
+    carrier_aiding: bool = True
+    min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
+    epl_method: str = "cumsum"
+
+    @property
+    def samples_per_ms(self) -> int:
+        return round(self.sampling_frequency * 1e-3)
+
+    @property
+    def window_samples(self) -> int:
+        return (self.tail_ms + self.block_ms) * self.samples_per_ms
+
+
+def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
+           epoch_idx):
+    """One 1-ms lockstep epoch across all channels."""
+    st: ChannelState = carry
+    spms = cfg.samples_per_ms
+    fs = cfg.sampling_frequency
+
+    # One millisecond of samples "arrives" for every channel.
+    avail = (cfg.tail_ms + epoch_idx + 1) * spms
+    unread = jnp.minimum(st.unread + spms, avail)
+
+    doppler = st.carrier_freq - cfg.intermediate_frequency
+    aiding = (
+        doppler * (GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ)
+        if cfg.carrier_aiding
+        else 0.0
+    )
+    # delta: code-rate offset from nominal [Hz]; kept separate from the
+    # absolute rate so sub-mHz corrections survive float32 (the absolute sum
+    # would quantise the rate to ~0.06 Hz and limit-cycle the DLL).
+    delta = st.code_freq_offset + aiding
+    code_freq = GPS_L1CA_CODE_FREQ + delta
+    code_step = code_freq / fs
+    required = jnp.ceil(
+        (GPS_L1CA_CODE_LENGTH - st.rem_code) / code_step
+    ).astype(jnp.int32)
+
+    active = (st.mode == MODE_TRACKING) & (unread >= required)
+
+    # Per-channel fixed-size window reads at dynamic offsets.
+    read_ptr = jnp.clip(avail - unread, 0, cfg.window_samples - cfg.window_size)
+
+    def one_channel(rp, code_row, req, cf, rem_ca, rem_co, cstep):
+        wr = jax.lax.dynamic_slice(window_re, (rp,), (cfg.window_size,))
+        wi = jax.lax.dynamic_slice(window_im, (rp,), (cfg.window_size,))
+        return trk.epl_correlate(
+            wr, wi, code_row, req, cf, rem_ca, rem_co, cstep,
+            spacings=cfg.spacings, sampling_frequency=fs,
+            method=cfg.epl_method,
+        )
+
+    corr = jax.vmap(one_channel)(
+        read_ptr, codes, required, st.carrier_freq, st.rem_carrier,
+        st.rem_code, code_step,
+    )  # [n_ch, 2 * n_spacings]
+    i_early, q_early = corr[:, 0], corr[:, 1]
+    i_prompt, q_prompt = corr[:, 2], corr[:, 3]
+    i_late, q_late = corr[:, 4], corr[:, 5]
+
+    # --- Discriminators + loop filters (Borre profile) --------------------
+    dll_t1, dll_t2 = trk.loop_filter_taus(cfg.dll_bandwidth, cfg.dll_damping,
+                                          cfg.dll_gain)
+    pll_t1, pll_t2 = trk.loop_filter_taus(cfg.pll_bandwidth, cfg.pll_damping,
+                                          cfg.pll_gain)
+
+    code_err = trk.dll_nneml(i_early, q_early, i_late, q_late)
+    nco_code = trk.borre_loop_filter(code_err, st.dll_memory, dll_t1, dll_t2,
+                                     cfg.dll_pdi)
+    phase_err = trk.pll_costas(i_prompt, q_prompt)
+    nco_carrier = trk.borre_loop_filter(phase_err, st.pll_memory, pll_t1,
+                                        pll_t2, cfg.pll_pdi)
+
+    # --- NCO / phase bookkeeping (reference channel_l1ca_borre.py:364,422) -
+    rem_carrier = jnp.mod(
+        st.rem_carrier
+        - TWO_PI * st.carrier_freq * required.astype(jnp.float32) / fs,
+        TWO_PI,
+    )
+    # Exact-rational phase update: fc/fs == 1023/spms exactly, so
+    # required*step - 1023 == 1023*(required - spms)/spms + required*delta/fs
+    # with every term well inside float32 precision. This is the split that
+    # keeps long-run code phase drift at the micro-chip level.
+    rem_code = (
+        st.rem_code
+        + GPS_L1CA_CODE_LENGTH * (required - spms).astype(jnp.float32) / spms
+        + required.astype(jnp.float32) * (delta / fs)
+    )
+    carrier_freq = st.carrier_freq + nco_carrier
+    code_freq_offset = st.code_freq_offset - nco_code
+
+    # --- Bit sync (sign flip of prompt after convergence, reference :399) --
+    had_bit_sync = (st.flags & FLAG_BIT_SYNC) != 0
+    sign_flip = jnp.sign(st.i_prompt_prev) != jnp.sign(i_prompt)
+    new_bit_sync = (
+        active & ~had_bit_sync
+        & (st.code_counter > cfg.min_convergence_ms) & sign_flip
+    )
+    bit_sync = had_bit_sync | new_bit_sync
+    ms_in_bit = jnp.where(
+        new_bit_sync, 0,
+        jnp.where(bit_sync & active, st.ms_in_bit + 1, st.ms_in_bit),
+    )
+    bit_complete = active & bit_sync & (ms_in_bit >= 20)
+    ms_in_bit = jnp.where(bit_complete, 0, ms_in_bit)
+    # 20-ms prompt sum of the *finished* bit (valid where bit_complete).
+    bit_ip_sum = st.ip_sum
+
+    # --- C/N0 + lock indicators over 20-ms bit intervals -------------------
+    ip_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.ip_sum) + \
+        jnp.where(active, i_prompt, 0.0)
+    qp_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.qp_sum) + \
+        jnp.where(active, q_prompt, 0.0)
+    ip_sq_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.ip_sq_sum) + \
+        jnp.where(active, i_prompt**2, 0.0)
+    qp_sq_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.qp_sq_sum) + \
+        jnp.where(active, q_prompt**2, 0.0)
+    cn0_new = trk.cn0_nwpr(st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum)
+    cn0 = jnp.where(bit_complete, cn0_new, st.cn0)
+
+    pll_lock = jnp.where(
+        active,
+        trk.pll_lock_indicator(i_prompt, q_prompt, st.pll_lock),
+        st.pll_lock,
+    )
+    fll_lock = jnp.where(
+        active,
+        trk.fll_lock_indicator(i_prompt, q_prompt, st.i_prompt_prev,
+                               st.q_prompt_prev, st.fll_lock),
+        st.fll_lock,
+    )
+
+    flags = jnp.where(
+        active,
+        st.flags | FLAG_CODE_LOCK | jnp.where(bit_sync, FLAG_BIT_SYNC, 0),
+        st.flags,
+    )
+
+    def upd(new, old):
+        return jnp.where(active, new, old)
+
+    new_state = ChannelState(
+        mode=st.mode,
+        flags=flags,
+        carrier_freq=upd(carrier_freq, st.carrier_freq),
+        code_freq_offset=upd(code_freq_offset, st.code_freq_offset),
+        rem_carrier=upd(rem_carrier, st.rem_carrier),
+        rem_code=upd(rem_code, st.rem_code),
+        dll_memory=upd(code_err, st.dll_memory),
+        pll_memory=upd(phase_err, st.pll_memory),
+        fll_memory=st.fll_memory,
+        fll_vel=st.fll_vel,
+        fll_acc=st.fll_acc,
+        i_prompt_prev=upd(i_prompt, st.i_prompt_prev),
+        q_prompt_prev=upd(q_prompt, st.q_prompt_prev),
+        unread=jnp.where(active, unread - required, unread),
+        code_counter=upd(st.code_counter + 1, st.code_counter),
+        ms_in_bit=ms_in_bit,
+        ip_sum=jnp.where(st.mode == MODE_TRACKING, ip_sum, st.ip_sum),
+        qp_sum=jnp.where(st.mode == MODE_TRACKING, qp_sum, st.qp_sum),
+        ip_abs_sum=st.ip_abs_sum,
+        ip_sq_sum=jnp.where(st.mode == MODE_TRACKING, ip_sq_sum, st.ip_sq_sum),
+        qp_sq_sum=jnp.where(st.mode == MODE_TRACKING, qp_sq_sum, st.qp_sq_sum),
+        cn0=cn0,
+        pll_lock=pll_lock,
+        fll_lock=fll_lock,
+        lock_state=st.lock_state,
+    )
+
+    outputs = {
+        "active": active,
+        "i_early": i_early, "q_early": q_early,
+        "i_prompt": i_prompt, "q_prompt": q_prompt,
+        "i_late": i_late, "q_late": q_late,
+        "dll_error": code_err, "pll_error": phase_err,
+        "nco_code": nco_code, "nco_carrier": nco_carrier,
+        "carrier_freq": carrier_freq,
+        "code_freq": code_freq,
+        "cn0": cn0, "pll_lock": pll_lock, "fll_lock": fll_lock,
+        "flags": flags,
+        "unread": new_state.unread,
+        "required": required,
+        "rem_code": new_state.rem_code,
+        "bit_ready": bit_complete,
+        "bit_ip_sum": bit_ip_sum,
+    }
+    return new_state, outputs
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_block(cfg: TrackingConfig, codes, state: ChannelState,
+              window_re, window_im):
+    """Process one block of IQ through all channels.
+
+    Args:
+        cfg: static TrackingConfig.
+        codes: ``[n_ch, 1025]`` float32 padded code tables.
+        state: ChannelState pytree (``[n_ch]`` arrays).
+        window_re, window_im: ``[(tail_ms + block_ms) * samples_per_ms]``
+            float32 sample planes; the first ``tail_ms`` ms are the tail of
+            the previous block.
+
+    Returns:
+        (new_state, outputs) with outputs a dict of ``[block_ms, n_ch]``.
+    """
+    step = functools.partial(_epoch, cfg, codes, window_re, window_im)
+    state, outputs = jax.lax.scan(
+        step, state, jnp.arange(cfg.block_ms, dtype=jnp.int32)
+    )
+    return state, outputs

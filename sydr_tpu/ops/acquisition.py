@@ -1,11 +1,13 @@
-"""PCPS (Parallel Code Phase Search) acquisition as batched XLA FFT kernels.
+"""PCPS (Parallel Code Phase Search) acquisition as batched MXU kernels.
 
 TPU-native reformulation of the reference acquisition stage
 (``/root/reference/sydr/dsp/acquisition.py:9-115`` and the C variant
 ``c_functions/acquisition.c:109-172``): instead of a per-channel Python loop
 over Doppler bins, the whole (channel x Doppler x non-coherent x coherent)
-grid is evaluated with batched ``jnp.fft`` calls inside one jitted function,
-scanning over Doppler chunks to bound peak HBM usage.
+grid is evaluated inside one jitted function, scanning over Doppler chunks to
+bound peak HBM usage. The circular correlations run on the matmul four-step
+DFT (``sydr_tpu.ops.fft``) because the TPU backend has no complex dtype —
+all signals travel as (re, im) float32 pairs.
 
 Sign conventions are direct (unlike the reference, which negates the bin at
 readout, ``channel_l1ca_borre.py:302``): bin ``d`` wipes a carrier at
@@ -20,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
+from sydr_tpu.ops import fft as mmfft
 from sydr_tpu.signal import cacode
 
 
@@ -31,9 +35,18 @@ def doppler_bins(doppler_range: float, doppler_step: float) -> np.ndarray:
 
 
 def code_fft_conj(prn: int, sampling_frequency: float) -> np.ndarray:
-    """conj(FFT(upsampled C/A code)) for circular correlation, complex64."""
+    """conj(FFT(upsampled C/A code)) as a complex128 host array."""
     code = cacode.upsample_code(cacode.ca_code(prn), sampling_frequency)
-    return np.conj(np.fft.fft(code.astype(np.float64))).astype(np.complex64)
+    return np.conj(np.fft.fft(code.astype(np.float64)))
+
+
+def split_reim(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split a host complex array into float32 (re, im) planes."""
+    x = np.asarray(x)
+    return (
+        np.ascontiguousarray(x.real, dtype=np.float32),
+        np.ascontiguousarray(x.imag, dtype=np.float32),
+    )
 
 
 @functools.partial(
@@ -47,9 +60,13 @@ def code_fft_conj(prn: int, sampling_frequency: float) -> np.ndarray:
     ),
 )
 def pcps_map(
-    iq: jax.Array,
-    code_ffts: jax.Array,
+    iq_re: jax.Array,
+    iq_im: jax.Array,
+    code_k_re: jax.Array,
+    code_k_im: jax.Array,
     bins: jax.Array,
+    fwd_plan: mmfft.DFTPlan,
+    inv_plan: mmfft.DFTPlan,
     *,
     sampling_frequency: float,
     intermediate_frequency: float = 0.0,
@@ -60,20 +77,20 @@ def pcps_map(
     """Correlation maps for a batch of channels.
 
     Args:
-        iq: ``[n_ch, non_coherent * coherent * n]`` complex64 samples.
-        code_ffts: ``[n_ch, n]`` complex64, conj(FFT(code replica)).
-        bins: ``[n_dop]`` float32 Doppler bins (pad to a multiple of
-            ``doppler_chunk``; padded bins produce extra rows to discard).
+        iq_re, iq_im: ``[n_ch, non_coherent * coherent * n]`` float32 samples.
+        code_k_re, code_k_im: ``[n_ch, n]`` float32, conj(DFT(code replica)).
+        bins: ``[n_dop]`` float32 Doppler bins (length must be a multiple of
+            ``doppler_chunk``).
 
     Returns:
-        ``[n_ch, n_dop, n]`` float32 correlation map (n_dop includes padding).
+        ``[n_ch, n_dop, n]`` float32 correlation map.
     """
-    n_ch, n = code_ffts.shape
+    n_ch, n = code_k_re.shape
     n_dop = bins.shape[0]
     assert n_dop % doppler_chunk == 0, "pad bins to a multiple of doppler_chunk"
 
-    # [n_ch, non_coherent, coherent, n]
-    blocks = iq.reshape(n_ch, non_coherent, coherent, n)
+    blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
+    blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
 
     # Carrier phase restarts at each non-coherent block (reference semantics:
     # one carrier vector of length coherent*n reused per block,
@@ -86,13 +103,18 @@ def pcps_map(
         # chunk_bins: [doppler_chunk]
         freqs = intermediate_frequency + chunk_bins  # [dc]
         phase = -2.0 * jnp.pi * freqs[:, None, None] * t[None]  # [dc, coh, n]
-        carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-        mixed = blocks[None] * carrier[:, None, None]  # [dc, ch, nc, coh, n]
-        spec = jnp.fft.fft(mixed, axis=-1)
-        corr = jnp.fft.ifft(spec * code_ffts[None, :, None, None], axis=-1)
-        coh_sum = jnp.sum(corr, axis=3)  # [dc, ch, nc, n]
-        noncoh = jnp.sum(jnp.abs(coh_sum), axis=2)  # [dc, ch, n]
-        return noncoh.astype(jnp.float32)
+        cos, sin = jnp.cos(phase), jnp.sin(phase)
+        # (cos + j sin) * (i + j q) expanded in reals.
+        mixed_re = blocks_re[None] * cos[:, None, None] - blocks_im[None] * sin[:, None, None]
+        mixed_im = blocks_re[None] * sin[:, None, None] + blocks_im[None] * cos[:, None, None]
+        corr_re, corr_im = mmfft.circular_correlate(
+            mixed_re, mixed_im, code_k_re[None, :, None, None],
+            code_k_im[None, :, None, None], fwd_plan, inv_plan,
+        )
+        coh_re = jnp.sum(corr_re, axis=3)  # [dc, ch, nc, n]
+        coh_im = jnp.sum(corr_im, axis=3)
+        noncoh = jnp.sum(jnp.sqrt(coh_re**2 + coh_im**2), axis=2)  # [dc, ch, n]
+        return noncoh
 
     chunked = bins.reshape(n_dop // doppler_chunk, doppler_chunk)
     maps = jax.lax.map(one_chunk, chunked)  # [n_chunks, dc, ch, n]
@@ -139,33 +161,54 @@ def acquire(
     coherent: int = 5,
     non_coherent: int = 10,
     doppler_chunk: int = 4,
+    plans: tuple[mmfft.DFTPlan, mmfft.DFTPlan] | None = None,
 ):
     """Full PCPS acquisition: map + peak metric.
 
-    ``bins`` may have any length; it is padded internally to a multiple of
-    ``doppler_chunk`` with duplicates of the last bin, and padded rows are
-    dropped before peak-finding.
+    Args:
+        iq: host complex array ``[n_ch, non_coherent*coherent*n]`` (or a
+            (re, im) float32 tuple).
+        code_ffts: host complex ``[n_ch, n]`` conj code DFTs (or (re, im)).
+        bins: any length; padded internally to a multiple of
+            ``doppler_chunk`` with duplicates of the last bin (padded rows are
+            dropped before peak-finding).
 
     Returns (doppler [n_ch], code_index [n_ch], metric [n_ch], map
     [n_ch, n_dop, n]).
     """
+    if isinstance(iq, tuple):
+        iq_re, iq_im = iq
+    else:
+        iq_re, iq_im = split_reim(iq)
+    if isinstance(code_ffts, tuple):
+        k_re, k_im = code_ffts
+    else:
+        k_re, k_im = split_reim(code_ffts)
+
+    n = k_re.shape[-1]
+    if plans is None:
+        plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
+    fwd, inv = plans
+
     bins = np.asarray(bins, dtype=np.float32)
     n_dop = len(bins)
     pad = (-n_dop) % doppler_chunk
     bins_padded = np.concatenate([bins, np.repeat(bins[-1:], pad)])
     corr = pcps_map(
-        jnp.asarray(iq),
-        jnp.asarray(code_ffts),
+        jnp.asarray(iq_re),
+        jnp.asarray(iq_im),
+        jnp.asarray(k_re),
+        jnp.asarray(k_im),
         jnp.asarray(bins_padded),
+        fwd,
+        inv,
         sampling_frequency=sampling_frequency,
         intermediate_frequency=intermediate_frequency,
         coherent=coherent,
         non_coherent=non_coherent,
         doppler_chunk=doppler_chunk,
     )[:, :n_dop, :]
-    samples_per_chip = round(
-        sampling_frequency / 1.023e6
-    )
+    samples_per_chip = round(sampling_frequency / GPS_L1CA_CODE_FREQ)
     doppler, code_idx, metric = peak_metric(
         corr, jnp.asarray(bins), samples_per_chip=samples_per_chip
     )

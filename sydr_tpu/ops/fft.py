@@ -1,0 +1,149 @@
+"""Matmul-based DFT for TPU backends without complex-dtype support.
+
+The reference implementation leans on ``numpy.fft`` / Ooura's C FFT
+(``/root/reference/sydr/c_functions/fft8g.h``). The TPU backend used here has
+no complex dtype at all, so complex values are carried as (re, im) float32
+pairs and the DFT is evaluated with the *four-step (Bailey) algorithm*:
+``N = N1 * N2`` and
+
+    X[N2*k1 + k2] = sum_{n1} W1[n1, k1] * T[k2, n1] *
+                    sum_{n2} W2[k2, n2] * x[n1 + N1*n2]
+
+i.e. reshape to ``[N2, N1]``, a column DFT (matmul with ``W2 [N2, N2]``), a
+twiddle multiply (``T[k2, n1] = exp(-2j pi k2 n1 / N)``), a row DFT (matmul
+with ``W1 [N1, N1]``), and a transpose. Each complex matmul expands to four
+real matmuls, which land on the MXU — for the acquisition workload the DFT is
+batched over (doppler x channel x block), so the systolic array runs at high
+occupancy. This is the TPU-native replacement for an FFT: at N ~ 10^4 with
+factors ~100 the matmul DFT costs ~N*(N1+N2) MACs/point-batch, ~35x the
+flops of an ideal FFT but >100x better hardware utilisation than a scalar
+butterfly network on this architecture.
+
+Plans are precomputed on the host in float64 and shipped as float32 arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _balanced_factors(n: int) -> tuple[int, int]:
+    """Factor n = n1 * n2 with n1 <= n2 as close to sqrt(n) as possible."""
+    best = None
+    f = int(math.isqrt(n))
+    while f >= 1:
+        if n % f == 0:
+            best = (f, n // f)
+            break
+        f -= 1
+    if best is None or best[0] == 1 and n > 64:
+        raise ValueError(f"N={n} has no useful factorisation (prime?)")
+    return best
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DFTPlan:
+    """Precomputed four-step DFT matrices for a fixed length."""
+
+    n: int
+    n1: int
+    n2: int
+    w1_re: jax.Array  # [n1, n1] outer DFT, W1[n1_idx, k1]
+    w1_im: jax.Array
+    w2_re: jax.Array  # [n2, n2] inner DFT, W2[k2, n2_idx]
+    w2_im: jax.Array
+    tw_re: jax.Array  # [n2, n1] twiddles T[k2, n1]
+    tw_im: jax.Array
+
+    def tree_flatten(self):
+        leaves = (self.w1_re, self.w1_im, self.w2_re, self.w2_im,
+                  self.tw_re, self.tw_im)
+        return leaves, (self.n, self.n1, self.n2)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(aux[0], aux[1], aux[2], *leaves)
+
+
+def make_plan(n: int, inverse: bool = False, dtype=np.float32) -> DFTPlan:
+    """Build a forward (or inverse, 1/N-scaled) DFT plan for length ``n``."""
+    n1, n2 = _balanced_factors(n)
+    sign = 1.0 if inverse else -1.0
+
+    k1 = np.arange(n1)
+    w1 = np.exp(sign * 2j * np.pi * np.outer(k1, k1) / n1)  # [n1_idx, k1]
+    k2 = np.arange(n2)
+    w2 = np.exp(sign * 2j * np.pi * np.outer(k2, k2) / n2)  # [k2, n2_idx]
+    tw = np.exp(sign * 2j * np.pi * np.outer(k2, k1) / n)   # [k2, n1]
+    if inverse:
+        w2 = w2 / n  # fold the 1/N scale into one factor
+
+    return DFTPlan(
+        n=n, n1=n1, n2=n2,
+        w1_re=jnp.asarray(w1.real.astype(dtype)),
+        w1_im=jnp.asarray(w1.imag.astype(dtype)),
+        w2_re=jnp.asarray(w2.real.astype(dtype)),
+        w2_im=jnp.asarray(w2.imag.astype(dtype)),
+        tw_re=jnp.asarray(tw.real.astype(dtype)),
+        tw_im=jnp.asarray(tw.imag.astype(dtype)),
+    )
+
+
+def dft(xr: jax.Array, xi: jax.Array, plan: DFTPlan):
+    """Batched DFT of (re, im) pairs over the last axis.
+
+    Args:
+        xr, xi: ``[..., n]`` float32.
+    Returns:
+        (Xr, Xi) of shape ``[..., n]``.
+    """
+    batch = xr.shape[:-1]
+    n1, n2 = plan.n1, plan.n2
+    ar = xr.reshape(batch + (n2, n1))
+    ai = xi.reshape(batch + (n2, n1))
+
+    # Inner DFT over n2: B = W2 @ A -> [.., n2(k2), n1]
+    br = jnp.einsum("kn,...nm->...km", plan.w2_re, ar) - jnp.einsum(
+        "kn,...nm->...km", plan.w2_im, ai)
+    bi = jnp.einsum("kn,...nm->...km", plan.w2_re, ai) + jnp.einsum(
+        "kn,...nm->...km", plan.w2_im, ar)
+
+    # Twiddle: C = B * T
+    cr = br * plan.tw_re - bi * plan.tw_im
+    ci = br * plan.tw_im + bi * plan.tw_re
+
+    # Outer DFT over n1: D[k2, k1] = C @ W1
+    dr = jnp.einsum("...kn,nj->...kj", cr, plan.w1_re) - jnp.einsum(
+        "...kn,nj->...kj", ci, plan.w1_im)
+    di = jnp.einsum("...kn,nj->...kj", cr, plan.w1_im) + jnp.einsum(
+        "...kn,nj->...kj", ci, plan.w1_re)
+
+    # X[N2*k1 + k2]: transpose [k2, k1] -> [k1, k2], flatten.
+    xr_out = jnp.swapaxes(dr, -1, -2).reshape(batch + (plan.n,))
+    xi_out = jnp.swapaxes(di, -1, -2).reshape(batch + (plan.n,))
+    return xr_out, xi_out
+
+
+def idft(xr: jax.Array, xi: jax.Array, plan: DFTPlan):
+    """Inverse DFT; ``plan`` must have been built with ``inverse=True``."""
+    # The four-step structure is sign-symmetric; reuse dft with the
+    # conjugated, scaled plan.
+    return dft(xr, xi, plan)
+
+
+def circular_correlate(xr, xi, kr, ki, fwd: DFTPlan, inv: DFTPlan):
+    """IDFT(DFT(x) * K) for a precomputed frequency-domain kernel K.
+
+    With ``K = conj(DFT(c))`` this computes the circular cross-correlation of
+    ``x`` against ``c`` (the PCPS inner step).
+    """
+    fr, fi = dft(xr, xi, fwd)
+    pr = fr * kr - fi * ki
+    pi = fr * ki + fi * kr
+    return idft(pr, pi, inv)

@@ -38,22 +38,31 @@ N_PADDED = 1025  # padded code length
 # Carrier replica and mixing
 # ---------------------------------------------------------------------------
 
-def mix_carrier(window: jax.Array, carrier_freq, rem_carrier, sampling_frequency):
-    """Wipe the carrier off an IQ window.
+def mix_carrier(
+    window_re: jax.Array,
+    window_im: jax.Array,
+    carrier_freq,
+    rem_carrier,
+    sampling_frequency,
+):
+    """Wipe the carrier off an IQ window (complex-free: (re, im) pairs).
 
-    Returns the mixed complex signal ``exp(j*(-2*pi*f*n/fs + rem)) * window``.
+    Returns the mixed signal ``exp(j*(-2*pi*f*n/fs + rem)) * window`` as
+    (re, im) float32 arrays.
     """
-    n = jnp.arange(window.shape[-1], dtype=jnp.float32)
+    n = jnp.arange(window_re.shape[-1], dtype=jnp.float32)
     phase = rem_carrier - (TWO_PI * carrier_freq / sampling_frequency) * n
-    replica = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    return replica * window
+    cos, sin = jnp.cos(phase), jnp.sin(phase)
+    mixed_re = cos * window_re - sin * window_im
+    mixed_im = cos * window_im + sin * window_re
+    return mixed_re, mixed_im
 
 
 def advance_carrier_phase(rem_carrier, carrier_freq, n_samples, sampling_frequency):
     """Carrier phase remainder after ``n_samples`` (reference
     ``channel_l1ca_borre.py:364-365``)."""
     rem = rem_carrier - TWO_PI * carrier_freq * (
-        n_samples.astype(jnp.float32) / sampling_frequency
+        jnp.asarray(n_samples).astype(jnp.float32) / sampling_frequency
     )
     return jnp.mod(rem, TWO_PI)
 
@@ -62,9 +71,10 @@ def advance_carrier_phase(rem_carrier, carrier_freq, n_samples, sampling_frequen
 # EPL correlators
 # ---------------------------------------------------------------------------
 
-def _epl_gather(mixed, code_padded, required, rem_code, code_step, spacings):
+def _epl_gather(mixed_re, mixed_im, code_padded, required, rem_code,
+                code_step, spacings):
     """Oracle implementation: one chip gather per sample."""
-    w = mixed.shape[-1]
+    w = mixed_re.shape[-1]
     n = jnp.arange(w, dtype=jnp.float32)
     valid = (jnp.arange(w) < required).astype(jnp.float32)
     outs = []
@@ -72,23 +82,27 @@ def _epl_gather(mixed, code_padded, required, rem_code, code_step, spacings):
         idx = jnp.ceil(rem_code + sp + n * code_step).astype(jnp.int32)
         chips = code_padded[jnp.clip(idx, 0, N_PADDED - 1)]
         weighted = chips * valid
-        outs.append(jnp.sum(weighted * mixed.real))
-        outs.append(jnp.sum(weighted * mixed.imag))
+        outs.append(jnp.sum(weighted * mixed_re))
+        outs.append(jnp.sum(weighted * mixed_im))
     return jnp.stack(outs)
 
 
-def _epl_cumsum(mixed, code_padded, required, rem_code, code_step, spacings):
-    """Boundary-gather implementation (shared cumulative sum).
+def _epl_cumsum(mixed_re, mixed_im, code_padded, required, rem_code,
+                code_step, spacings):
+    """Boundary-gather implementation (shared cumulative sums).
 
     For chip index ``c(n) = ceil(r + n*step)``, the first sample with
     ``c(n) >= k`` is ``floor((k - 1 - r) / step) + 1``; the correlation is the
-    code-weighted sum of cumsum segments between consecutive boundaries.
+    code-weighted sum of cumsum segments between consecutive boundaries. All
+    three spacings share the two (re, im) cumulative sums.
     """
-    w = mixed.shape[-1]
-    valid = (jnp.arange(w) < required)[..., None]
-    masked = jnp.where(valid, mixed[..., None], 0.0)
-    csum = jnp.cumsum(masked.squeeze(-1), axis=-1)
-    csum = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum], axis=-1)
+    w = mixed_re.shape[-1]
+    valid = jnp.arange(w) < required
+    cs_re = jnp.cumsum(jnp.where(valid, mixed_re, 0.0), axis=-1)
+    cs_im = jnp.cumsum(jnp.where(valid, mixed_im, 0.0), axis=-1)
+    zero = jnp.zeros_like(cs_re[..., :1])
+    cs_re = jnp.concatenate([zero, cs_re], axis=-1)
+    cs_im = jnp.concatenate([zero, cs_im], axis=-1)
 
     k = jnp.arange(N_PADDED + 1, dtype=jnp.float32)
     outs = []
@@ -96,14 +110,14 @@ def _epl_cumsum(mixed, code_padded, required, rem_code, code_step, spacings):
         r = rem_code + sp
         bounds = jnp.floor((k - 1.0 - r) / code_step).astype(jnp.int32) + 1
         bounds = jnp.clip(bounds, 0, required)
-        seg = csum[bounds[1:]] - csum[bounds[:-1]]
-        outs.append(jnp.sum(code_padded * seg.real))
-        outs.append(jnp.sum(code_padded * seg.imag))
+        outs.append(jnp.sum(code_padded * (cs_re[bounds[1:]] - cs_re[bounds[:-1]])))
+        outs.append(jnp.sum(code_padded * (cs_im[bounds[1:]] - cs_im[bounds[:-1]])))
     return jnp.stack(outs)
 
 
 def epl_correlate(
-    window: jax.Array,
+    window_re: jax.Array,
+    window_im: jax.Array,
     code_padded: jax.Array,
     required,
     carrier_freq,
@@ -117,8 +131,8 @@ def epl_correlate(
     """Early/Prompt/Late correlation over a fixed window.
 
     Args:
-        window: ``[window_size]`` complex64 IQ samples starting at the code
-            period boundary.
+        window_re, window_im: ``[window_size]`` float32 IQ planes starting at
+            the code period boundary.
         code_padded: ``[1025]`` float32 padded +/-1 chips.
         required: dynamic int32 number of valid samples (<= window_size).
         spacings: static correlator spacings in chips.
@@ -126,9 +140,12 @@ def epl_correlate(
     Returns:
         ``[2 * len(spacings)]`` float32: (i, q) per spacing in order.
     """
-    mixed = mix_carrier(window, carrier_freq, rem_carrier, sampling_frequency)
+    mixed_re, mixed_im = mix_carrier(
+        window_re, window_im, carrier_freq, rem_carrier, sampling_frequency
+    )
     impl = _epl_cumsum if method == "cumsum" else _epl_gather
-    return impl(mixed, code_padded, required, rem_code, code_step, spacings)
+    return impl(mixed_re, mixed_im, code_padded, required, rem_code,
+                code_step, spacings)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,203 @@
+"""Host-side orchestration of the device tracking runtime.
+
+``TrackingSession`` owns the device channel state, assembles the sliding
+sample window per block, and performs the acquisition→tracking handoff.
+It is the host half of the reference's ``ChannelManager`` + ``Receiver.run``
+loop (``/root/reference/sydr/receiver/receiver.py:101-144``,
+``channel/channelManager.py``), with the per-ms multiprocessing barrier
+replaced by a per-block jitted device call.
+
+Sample accounting: the session counts the absolute number of samples fed
+(``total_samples``); each channel's absolute read position is
+``total_samples - unread`` (the reference keeps the equivalent quantity via
+``getNbUnreadSamples``). The acquisition handoff replicates the reference's
+alignment: tracking starts at the last code boundary inside the acquisition
+window, ``unread = samples_per_code - code_index - 1``
+(``channel_l1ca_borre.py:309-311``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from sydr_tpu.channels import runtime
+from sydr_tpu.channels.state import (
+    MODE_ACQUIRING,
+    MODE_IDLE,
+    MODE_TRACKING,
+    ChannelState,
+    code_table,
+    init_state,
+)
+from sydr_tpu.constants import (
+    GPS_L1CA_CARRIER_FREQ,
+    GPS_L1CA_CODE_FREQ,
+    GPS_L1CA_CODE_LENGTH,
+)
+from sydr_tpu.ops import acquisition as acq
+
+
+@dataclasses.dataclass
+class AcquisitionConfig:
+    doppler_range: float = 5000.0
+    doppler_step: float = 100.0
+    coherent: int = 5
+    non_coherent: int = 10
+    threshold: float = 1.5
+
+    @property
+    def required_ms(self) -> int:
+        return self.coherent * self.non_coherent
+
+
+class TrackingSession:
+    """Drives the vmapped channel runtime over a streamed IQ signal."""
+
+    def __init__(
+        self,
+        cfg: runtime.TrackingConfig,
+        prns: list[int],
+        acq_cfg: AcquisitionConfig | None = None,
+    ):
+        self.cfg = cfg
+        self.prns = list(prns)
+        self.acq_cfg = acq_cfg or AcquisitionConfig()
+        self.n_channels = len(prns)
+        self.codes = jnp.asarray(code_table(prns))
+        self.state: ChannelState = init_state(self.n_channels)
+        self.state = dataclasses.replace(
+            self.state,
+            mode=jnp.where(
+                jnp.asarray([p > 0 for p in self.prns]),
+                MODE_ACQUIRING,
+                MODE_IDLE,
+            ).astype(jnp.int32),
+        )
+        spms = cfg.samples_per_ms
+        self.total_samples = 0
+        # Host history for acquisition (keeps the last required_ms of IQ).
+        hist = self.acq_cfg.required_ms * spms
+        self._hist_re = np.zeros(hist, dtype=np.float32)
+        self._hist_im = np.zeros(hist, dtype=np.float32)
+        # Device window tail (previous block's last tail_ms milliseconds).
+        tail = cfg.tail_ms * spms
+        self._tail_re = np.zeros(tail, dtype=np.float32)
+        self._tail_im = np.zeros(tail, dtype=np.float32)
+        self._code_ffts = None
+        self._plans = None
+        self.acq_results: dict[int, dict] = {}
+
+    # ------------------------------------------------------------------
+    def _update_hist(self, block_re, block_im):
+        h = len(self._hist_re)
+        n = len(block_re)
+        if n >= h:
+            self._hist_re[:] = block_re[-h:]
+            self._hist_im[:] = block_im[-h:]
+        else:
+            self._hist_re = np.roll(self._hist_re, -n)
+            self._hist_im = np.roll(self._hist_im, -n)
+            self._hist_re[-n:] = block_re
+            self._hist_im[-n:] = block_im
+
+    # ------------------------------------------------------------------
+    def _maybe_acquire(self):
+        """Run PCPS for channels in ACQUIRING mode once enough history."""
+        pending = [
+            i
+            for i in range(self.n_channels)
+            if int(self.state.mode[i]) == MODE_ACQUIRING
+        ]
+        need = self.acq_cfg.required_ms * self.cfg.samples_per_ms
+        if not pending or self.total_samples < need:
+            return
+
+        if self._code_ffts is None:
+            self._code_ffts = {
+                i: acq.split_reim(
+                    acq.code_fft_conj(self.prns[i], self.cfg.sampling_frequency)
+                )
+                for i in range(self.n_channels)
+                if self.prns[i] > 0
+            }
+        k_re = np.stack([self._code_ffts[i][0] for i in pending])
+        k_im = np.stack([self._code_ffts[i][1] for i in pending])
+        bins = acq.doppler_bins(self.acq_cfg.doppler_range,
+                                self.acq_cfg.doppler_step)
+        iq_re = np.broadcast_to(self._hist_re, (len(pending), need)).copy()
+        iq_im = np.broadcast_to(self._hist_im, (len(pending), need)).copy()
+        doppler, code_idx, metric, _ = acq.acquire(
+            (iq_re, iq_im),
+            (k_re, k_im),
+            bins,
+            sampling_frequency=self.cfg.sampling_frequency,
+            intermediate_frequency=self.cfg.intermediate_frequency,
+            coherent=self.acq_cfg.coherent,
+            non_coherent=self.acq_cfg.non_coherent,
+        )
+        doppler = np.asarray(doppler)
+        code_idx = np.asarray(code_idx)
+        metric = np.asarray(metric)
+
+        samples_per_code = round(
+            self.cfg.sampling_frequency
+            * GPS_L1CA_CODE_LENGTH
+            / GPS_L1CA_CODE_FREQ
+        )
+        mode = np.array(self.state.mode)
+        carrier = np.array(self.state.carrier_freq)
+        code_off = np.array(self.state.code_freq_offset)
+        unread = np.array(self.state.unread)
+        for j, i in enumerate(pending):
+            self.acq_results[i] = {
+                "prn": self.prns[i],
+                "doppler": float(doppler[j]),
+                "code_index": int(code_idx[j]),
+                "metric": float(metric[j]),
+            }
+            if metric[j] < self.acq_cfg.threshold:
+                mode[i] = MODE_IDLE  # not found; receiver may retry later
+                continue
+            mode[i] = MODE_TRACKING
+            carrier[i] = self.cfg.intermediate_frequency + doppler[j]
+            if not self.cfg.carrier_aiding:
+                code_off[i] = doppler[j] * (
+                    GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ
+                )
+            # Start at the last code boundary of the acquisition window
+            # (reference channel_l1ca_borre.py:309-311).
+            unread[i] = samples_per_code - int(code_idx[j]) - 1
+        self.state = dataclasses.replace(
+            self.state,
+            mode=jnp.asarray(mode),
+            carrier_freq=jnp.asarray(carrier),
+            code_freq_offset=jnp.asarray(code_off),
+            unread=jnp.asarray(unread),
+        )
+
+    # ------------------------------------------------------------------
+    def process_block(self, block_re: np.ndarray, block_im: np.ndarray):
+        """Process ``block_ms`` milliseconds of IQ; returns host outputs.
+
+        The block must be exactly ``block_ms * samples_per_ms`` samples.
+        """
+        cfg = self.cfg
+        expect = cfg.block_ms * cfg.samples_per_ms
+        assert len(block_re) == expect, (len(block_re), expect)
+
+        window_re = np.concatenate([self._tail_re, block_re])
+        window_im = np.concatenate([self._tail_im, block_im])
+        self.state, outputs = runtime.run_block(
+            cfg, self.codes, self.state,
+            jnp.asarray(window_re), jnp.asarray(window_im),
+        )
+        self.total_samples += expect
+        tail = cfg.tail_ms * cfg.samples_per_ms
+        self._tail_re = window_re[-tail:]
+        self._tail_im = window_im[-tail:]
+        self._update_hist(block_re, block_im)
+        self._maybe_acquire()
+        return {k: np.asarray(v) for k, v in outputs.items()}

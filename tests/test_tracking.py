@@ -46,7 +46,8 @@ def test_epl_matches_oracle(method):
     window = iq[: required + 256]  # fixed window larger than required
 
     got = tracking.epl_correlate(
-        jnp.asarray(window), jnp.asarray(code_padded), required,
+        jnp.asarray(np.float32(window.real)), jnp.asarray(np.float32(window.imag)),
+        jnp.asarray(code_padded), required,
         doppler, 0.3, rem_code, code_step,
         spacings=SPACINGS, sampling_frequency=FS, method=method,
     )
@@ -61,8 +62,10 @@ def test_epl_gather_cumsum_agree():
     code_step = (1.023e6 - 1.66) / FS  # slight code Doppler
     rem_code = 0.071
     required = int(np.ceil((1023 - rem_code) / code_step))
-    window = jnp.asarray(iq[: required + 256])
-    args = (window, jnp.asarray(code_padded), required, -2500.0, 1.1,
+    window = iq[: required + 256]
+    args = (jnp.asarray(np.float32(window.real)),
+            jnp.asarray(np.float32(window.imag)),
+            jnp.asarray(code_padded), required, -2500.0, 1.1,
             rem_code, code_step)
     a = tracking.epl_correlate(*args, spacings=SPACINGS,
                                sampling_frequency=FS, method="gather")
@@ -79,9 +82,11 @@ def test_epl_prompt_peak_on_aligned_code():
     code_padded = cacode.padded_code(prn)
     code_step = 1.023e6 / FS
     required = int(np.ceil(1023 / code_step))
-    window = jnp.asarray(iq[: required + 256])
+    window = iq[: required + 256]
     out = np.asarray(tracking.epl_correlate(
-        window, jnp.asarray(code_padded), required, 0.0, 0.0, 0.0, code_step,
+        jnp.asarray(np.float32(window.real)),
+        jnp.asarray(np.float32(window.imag)),
+        jnp.asarray(code_padded), required, 0.0, 0.0, 0.0, code_step,
         spacings=SPACINGS, sampling_frequency=FS))
     i_early, _, i_prompt, q_prompt, i_late, _ = out
     assert i_prompt > 0.99 * required

@@ -74,6 +74,7 @@ class TrackingConfig:
     # carrier Doppler so the DLL only tracks residuals).
     carrier_aiding: bool = True
     min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
+    bit_sync_flips: int = 10       # sign flips needed to declare bit sync
     epl_method: str = "cumsum"
 
     @property
@@ -165,32 +166,53 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
     carrier_freq = st.carrier_freq + nco_carrier
     code_freq_offset = st.code_freq_offset - nco_code
 
-    # --- Bit sync (sign flip of prompt after convergence, reference :399) --
+    # --- Bit-edge synchronisation (histogram method) -----------------------
+    # The reference latches onto the FIRST prompt sign flip
+    # (channel_l1ca_borre.py:399-407), which mis-anchors the bit boundary by
+    # up to 10 ms when the PLL is still converging. Here sign-flip positions
+    # are histogrammed modulo 20 epochs and the bit edge is declared at the
+    # histogram mode once enough flips are observed — millisecond-exact bit
+    # boundaries, which the pseudorange bookkeeping depends on.
     had_bit_sync = (st.flags & FLAG_BIT_SYNC) != 0
+    ms_counter = jnp.where(active, (st.ms_counter + 1) % 20, st.ms_counter)
     sign_flip = jnp.sign(st.i_prompt_prev) != jnp.sign(i_prompt)
-    new_bit_sync = (
+    counting = (
         active & ~had_bit_sync
-        & (st.code_counter > cfg.min_convergence_ms) & sign_flip
+        & (st.code_counter > cfg.min_convergence_ms)
+        & (st.pll_lock > 0.5)
     )
-    bit_sync = had_bit_sync | new_bit_sync
-    ms_in_bit = jnp.where(
-        new_bit_sync, 0,
-        jnp.where(bit_sync & active, st.ms_in_bit + 1, st.ms_in_bit),
+    flip_now = counting & sign_flip
+    onehot = (
+        jnp.arange(20, dtype=jnp.int32)[None, :] == ms_counter[:, None]
+    ).astype(jnp.int32)
+    edge_hist = st.edge_hist + onehot * flip_now[:, None].astype(jnp.int32)
+    total_flips = jnp.sum(edge_hist, axis=-1)
+    declare = ~had_bit_sync & (total_flips >= cfg.bit_sync_flips)
+    bit_edge = jnp.where(
+        declare, jnp.argmax(edge_hist, axis=-1).astype(jnp.int32), st.bit_edge
     )
-    bit_complete = active & bit_sync & (ms_in_bit >= 20)
-    ms_in_bit = jnp.where(bit_complete, 0, ms_in_bit)
+    bit_sync = had_bit_sync | declare
+    phase_in_bit = jnp.mod(ms_counter - bit_edge, 20)
+    at_edge = active & bit_sync & (phase_in_bit == 0)
+    bit_complete = at_edge & (st.accum_count >= 20)
     # 20-ms prompt sum of the *finished* bit (valid where bit_complete).
     bit_ip_sum = st.ip_sum
+    new_bit_sync = declare
+    accum_reset = at_edge | declare
+    accum_count = jnp.where(accum_reset, 0, st.accum_count) + (
+        active & bit_sync
+    ).astype(jnp.int32)
 
-    # --- C/N0 + lock indicators over 20-ms bit intervals -------------------
-    ip_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.ip_sum) + \
-        jnp.where(active, i_prompt, 0.0)
-    qp_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.qp_sum) + \
-        jnp.where(active, q_prompt, 0.0)
-    ip_sq_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.ip_sq_sum) + \
-        jnp.where(active, i_prompt**2, 0.0)
-    qp_sq_sum = jnp.where(bit_complete | new_bit_sync, 0.0, st.qp_sq_sum) + \
-        jnp.where(active, q_prompt**2, 0.0)
+    # --- C/N0 + lock indicators over bit-aligned 20-ms intervals -----------
+    acc = active & bit_sync
+    ip_sum = jnp.where(accum_reset, 0.0, st.ip_sum) + \
+        jnp.where(acc, i_prompt, 0.0)
+    qp_sum = jnp.where(accum_reset, 0.0, st.qp_sum) + \
+        jnp.where(acc, q_prompt, 0.0)
+    ip_sq_sum = jnp.where(accum_reset, 0.0, st.ip_sq_sum) + \
+        jnp.where(acc, i_prompt**2, 0.0)
+    qp_sq_sum = jnp.where(accum_reset, 0.0, st.qp_sq_sum) + \
+        jnp.where(acc, q_prompt**2, 0.0)
     cn0_new = trk.cn0_nwpr(st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum)
     cn0 = jnp.where(bit_complete, cn0_new, st.cn0)
 
@@ -231,12 +253,15 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         q_prompt_prev=upd(q_prompt, st.q_prompt_prev),
         unread=jnp.where(active, unread - required, unread),
         code_counter=upd(st.code_counter + 1, st.code_counter),
-        ms_in_bit=ms_in_bit,
-        ip_sum=jnp.where(st.mode == MODE_TRACKING, ip_sum, st.ip_sum),
-        qp_sum=jnp.where(st.mode == MODE_TRACKING, qp_sum, st.qp_sum),
+        ms_counter=ms_counter,
+        edge_hist=edge_hist,
+        bit_edge=bit_edge,
+        accum_count=accum_count,
+        ip_sum=ip_sum,
+        qp_sum=qp_sum,
         ip_abs_sum=st.ip_abs_sum,
-        ip_sq_sum=jnp.where(st.mode == MODE_TRACKING, ip_sq_sum, st.ip_sq_sum),
-        qp_sq_sum=jnp.where(st.mode == MODE_TRACKING, qp_sq_sum, st.qp_sq_sum),
+        ip_sq_sum=ip_sq_sum,
+        qp_sq_sum=qp_sq_sum,
         cn0=cn0,
         pll_lock=pll_lock,
         fll_lock=fll_lock,

@@ -73,7 +73,10 @@ class ChannelState:
     q_prompt_prev: jax.Array     # f32
     unread: jax.Array            # int32 samples available to this channel
     code_counter: jax.Array      # int32 tracked code periods total
-    ms_in_bit: jax.Array         # int32 epochs since last bit edge [0, 20)
+    ms_counter: jax.Array        # int32 free-running epoch counter mod 20
+    edge_hist: jax.Array         # int32 [n_ch, 20] sign-flip position histogram
+    bit_edge: jax.Array          # int32 declared bit-edge phase [0, 20)
+    accum_count: jax.Array       # int32 prompt entries in current bit accum
     ip_sum: jax.Array            # f32 20-ms prompt accumulators (C/N0)
     qp_sum: jax.Array            # f32
     ip_abs_sum: jax.Array        # f32 sum of |iP| (wide-band power uses sq)
@@ -102,7 +105,10 @@ def init_state(n_channels: int) -> ChannelState:
         q_prompt_prev=_f32(n_channels),
         unread=_i32(n_channels),
         code_counter=_i32(n_channels),
-        ms_in_bit=_i32(n_channels),
+        ms_counter=_i32(n_channels),
+        edge_hist=jnp.zeros((n_channels, 20), dtype=jnp.int32),
+        bit_edge=_i32(n_channels),
+        accum_count=_i32(n_channels),
         ip_sum=_f32(n_channels),
         qp_sum=_f32(n_channels),
         ip_abs_sum=_f32(n_channels),

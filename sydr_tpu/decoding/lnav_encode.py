@@ -46,6 +46,13 @@ def scaled_int(value: float, scale_pow2: int, width: int, signed=True):
     return int_to_bits(raw, width) if signed else uint_to_bits(raw, width)
 
 
+def angle_bits(angle_rad: float, width: int = 32) -> np.ndarray:
+    """Encode an angle in semicircles (scale 2^-(width-1)), wrapping into
+    [-pi, pi) — broadcast angles are modular quantities."""
+    raw = int(round(angle_rad / np.pi * 2.0 ** (width - 1)))
+    return uint_to_bits(raw & ((1 << width) - 1), width)
+
+
 def _solve_tail_bits(data24: np.ndarray, d29s: int, d30s: int) -> np.ndarray:
     """Choose d23, d24 so computed D29 = D30 = 0 (HOW and word 10)."""
     for d23 in (0, 1):
@@ -121,7 +128,7 @@ def encode_subframe(
         p[60:68] = uint_to_bits(int(getattr(eph, "iode", 0)), 8)
         p[68:84] = scaled_int(eph.crs, -5, 16)
         p[90:106] = scaled_int(eph.deltan / np.pi, -43, 16)
-        m0 = int_to_bits(int(round(eph.m0 / np.pi / 2.0**-31)), 32)
+        m0 = angle_bits(eph.m0)
         p[106:114] = m0[:8]
         p[120:144] = m0[8:]
         p[150:166] = scaled_int(eph.cuc, -29, 16)
@@ -135,15 +142,15 @@ def encode_subframe(
         p[270:286] = uint_to_bits(int(round(eph.toe / 2.0**4)), 16)
     elif subframe_id == 3:
         p[60:76] = scaled_int(eph.cic, -29, 16)
-        om0 = int_to_bits(int(round(eph.omega0 / np.pi / 2.0**-31)), 32)
+        om0 = angle_bits(eph.omega0)
         p[76:84] = om0[:8]
         p[90:114] = om0[8:]
         p[120:136] = scaled_int(eph.cis, -29, 16)
-        i0 = int_to_bits(int(round(eph.i0 / np.pi / 2.0**-31)), 32)
+        i0 = angle_bits(eph.i0)
         p[136:144] = i0[:8]
         p[150:174] = i0[8:]
         p[180:196] = scaled_int(eph.crc, -5, 16)
-        om = int_to_bits(int(round(eph.omega / np.pi / 2.0**-31)), 32)
+        om = angle_bits(eph.omega)
         p[196:204] = om[:8]
         p[210:234] = om[8:]
         p[240:264] = scaled_int(eph.omega_dot / np.pi, -43, 24)

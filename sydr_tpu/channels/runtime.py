@@ -75,7 +75,7 @@ class TrackingConfig:
     carrier_aiding: bool = True
     min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
     bit_sync_flips: int = 10       # sign flips needed to declare bit sync
-    epl_method: str = "cumsum"
+    epl_method: str = "bitpack"
 
     @property
     def samples_per_ms(self) -> int:

@@ -115,6 +115,148 @@ def _epl_cumsum(mixed_re, mixed_im, code_padded, required, rem_code,
     return jnp.stack(outs)
 
 
+def _epl_local(mixed_re, mixed_im, code_padded, required, rem_code,
+               code_step, spacings, sampling_frequency):
+    """Gather-free correlator: shifted code + per-group local one-hot.
+
+    On TPU, per-element gathers are the bottleneck of both the direct and the
+    cumsum formulations (~1 ms/epoch for the boundary gather at 32 channels).
+    This formulation exploits that the chip index is affine in the sample
+    index: within a 128-sample group the chip index spans only
+    ``ceil(127*step)+1`` values, and the group's base chip is *statically*
+    known up to one dynamic integer shift ``floor(rem + spacing)``. So:
+
+      1. one dynamic_slice aligns the padded code per (channel, spacing);
+      2. a compile-time index matrix expands it to per-group chip slices;
+      3. chips are reconstructed as a local one-hot multiply-sum
+         (compare + FMA over ~15 values instead of a 1025-entry gather).
+
+    Bit-identical chip indexing to ``_epl_gather`` (same ceil arithmetic).
+    """
+    import numpy as np
+
+    w = mixed_re.shape[-1]
+    g = 128
+    pad = (-w) % g
+    if pad:
+        mixed_re = jnp.concatenate([mixed_re, jnp.zeros(pad, jnp.float32)])
+        mixed_im = jnp.concatenate([mixed_im, jnp.zeros(pad, jnp.float32)])
+        w += pad
+    n_groups = w // g
+    step0 = 1.023e6 / sampling_frequency
+    local = int(np.ceil((g - 1) * step0)) + 5
+    cs0 = np.floor(np.arange(n_groups) * g * step0).astype(np.int32)
+    static_idx = np.minimum(
+        cs0[:, None] + np.arange(local)[None, :], 1032
+    )  # [n_groups, local]
+    cs0_rep = jnp.asarray(np.repeat(cs0, g))          # [w]
+    j_range = jnp.arange(local, dtype=jnp.int32)
+
+    # code_ext[p] = code_padded[p - 4]; with base = c0i + 2 the shifted view
+    # satisfies code_sh[m] = code_padded[c0i + m - 2], so that
+    # code_groups[g, j] = code_padded[c0i + cs0[g] + j - 2] matches
+    # l = idx - c0i - cs0[g] + 2 exactly (chips = code_padded[idx]).
+    code_ext = jnp.concatenate(
+        [jnp.zeros(4, jnp.float32), code_padded, jnp.zeros(8, jnp.float32)]
+    )
+
+    n = jnp.arange(w, dtype=jnp.float32)
+    valid = (jnp.arange(w) < required).astype(jnp.float32)
+    mre = mixed_re * valid
+    mim = mixed_im * valid
+
+    outs = []
+    for sp in spacings:
+        r = rem_code + sp
+        c0i = jnp.floor(r).astype(jnp.int32)
+        base = jnp.clip(c0i + 2, 0, code_ext.shape[0] - 1033)
+        code_sh = jax.lax.dynamic_slice(code_ext, (base,), (1033,))
+        code_groups = code_sh[static_idx]             # static gather
+        idx = jnp.ceil(r + n * code_step).astype(jnp.int32)
+        l = (idx - c0i + 2 - cs0_rep).reshape(n_groups, g)
+        onehot = (l[:, :, None] == j_range[None, None, :]).astype(jnp.float32)
+        chips = jnp.sum(
+            onehot * code_groups[:, None, :], axis=-1
+        ).reshape(w)
+        outs.append(jnp.dot(chips, mre))
+        outs.append(jnp.dot(chips, mim))
+    return jnp.stack(outs)
+
+
+def _epl_bitpack(mixed_re, mixed_im, code_padded, required, rem_code,
+                 code_step, spacings, sampling_frequency):
+    """Arithmetic chip lookup via per-group bit-packed code words.
+
+    Like ``_epl_local`` but without materialising the one-hot tensor (which
+    is HBM-bound): each 128-sample group's ``local`` candidate chips are
+    packed as bits of one float32 integer word ``w[g] = sum_j bit_j * 2^j``
+    (exact for local <= 24), and the per-sample chip is extracted as
+
+        bit = floor(w * 2^-l) - 2 * floor(w * 2^-l / 2)
+        chip = 2 * bit - 1
+
+    with ``2^-l`` built by exponent-field bitcast (integer ops only). All
+    tensors stay ``[window]``-shaped elementwise — fully fusable by XLA.
+    Chip indexing is identical to ``_epl_gather`` (same ceil arithmetic).
+    """
+    import numpy as np
+
+    w_len = mixed_re.shape[-1]
+    step0 = 1.023e6 / sampling_frequency
+    # Largest power-of-two group whose chip span packs into an exact f32 int.
+    g = 128
+    while g > 8 and int(np.ceil((g - 1) * step0)) + 5 > 24:
+        g //= 2
+    local = int(np.ceil((g - 1) * step0)) + 5
+    assert local <= 24, "bit-packed words need local <= 24 (float32 exact)"
+    pad = (-w_len) % g
+    if pad:
+        mixed_re = jnp.concatenate([mixed_re, jnp.zeros(pad, jnp.float32)])
+        mixed_im = jnp.concatenate([mixed_im, jnp.zeros(pad, jnp.float32)])
+        w_len += pad
+    n_groups = w_len // g
+    cs0 = np.floor(np.arange(n_groups) * g * step0).astype(np.int32)
+    static_idx = np.minimum(
+        cs0[:, None] + np.arange(local)[None, :], 1032
+    )
+    cs0_rep = jnp.asarray(np.repeat(cs0, g))
+    pow2j = jnp.asarray((2.0 ** np.arange(local)).astype(np.float32))
+
+    code_ext = jnp.concatenate(
+        [jnp.zeros(4, jnp.float32), code_padded, jnp.zeros(8, jnp.float32)]
+    )
+
+    n = jnp.arange(w_len, dtype=jnp.float32)
+    valid = (jnp.arange(w_len) < required).astype(jnp.float32)
+    mre = mixed_re * valid
+    mim = mixed_im * valid
+
+    outs = []
+    for sp in spacings:
+        r = rem_code + sp
+        c0i = jnp.floor(r).astype(jnp.int32)
+        base = jnp.clip(c0i + 2, 0, code_ext.shape[0] - 1033)
+        code_sh = jax.lax.dynamic_slice(code_ext, (base,), (1033,))
+        bits = (code_sh[static_idx] > 0).astype(jnp.float32)  # [n_groups, local]
+        words = bits @ pow2j                                   # [n_groups]
+        w_rep = jnp.repeat(words, g)                           # [w_len]
+
+        idx = jnp.ceil(r + n * code_step).astype(jnp.int32)
+        l = idx - c0i + 2 - cs0_rep                            # [w_len] int32
+        l_clip = jnp.clip(l, 0, local - 1)
+        # 2^-l via exponent-field construction (|l| < 126 guaranteed).
+        p = jax.lax.bitcast_convert_type(
+            ((127 - l_clip) << 23).astype(jnp.int32), jnp.float32
+        )
+        t = w_rep * p
+        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
+        in_range = ((l >= 0) & (l < local)).astype(jnp.float32)
+        chips = (2.0 * bit - 1.0) * in_range
+        outs.append(jnp.dot(chips, mre))
+        outs.append(jnp.dot(chips, mim))
+    return jnp.stack(outs)
+
+
 def epl_correlate(
     window_re: jax.Array,
     window_im: jax.Array,
@@ -143,6 +285,12 @@ def epl_correlate(
     mixed_re, mixed_im = mix_carrier(
         window_re, window_im, carrier_freq, rem_carrier, sampling_frequency
     )
+    if method == "local":
+        return _epl_local(mixed_re, mixed_im, code_padded, required,
+                          rem_code, code_step, spacings, sampling_frequency)
+    if method == "bitpack":
+        return _epl_bitpack(mixed_re, mixed_im, code_padded, required,
+                            rem_code, code_step, spacings, sampling_frequency)
     impl = _epl_cumsum if method == "cumsum" else _epl_gather
     return impl(mixed_re, mixed_im, code_padded, required, rem_code,
                 code_step, spacings)

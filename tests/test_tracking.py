@@ -35,7 +35,7 @@ def _make_window(prn=7, doppler=1800.0, n_ms=2, noise=False, cn0=None, seed=0):
     return gen.generate_ms(n_ms)
 
 
-@pytest.mark.parametrize("method", ["gather", "cumsum"])
+@pytest.mark.parametrize("method", ["gather", "cumsum", "local", "bitpack"])
 def test_epl_matches_oracle(method):
     prn, doppler = 7, 1800.0
     iq = _make_window(prn, doppler)
@@ -71,8 +71,17 @@ def test_epl_gather_cumsum_agree():
                                sampling_frequency=FS, method="gather")
     b = tracking.epl_correlate(*args, spacings=SPACINGS,
                                sampling_frequency=FS, method="cumsum")
+    c = tracking.epl_correlate(*args, spacings=SPACINGS,
+                               sampling_frequency=FS, method="local")
+    d = tracking.epl_correlate(*args, spacings=SPACINGS,
+                               sampling_frequency=FS, method="bitpack")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3,
                                atol=1.0)
+    # local uses identical ceil chip indexing to gather: near bit-identical.
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(d), rtol=1e-5,
+                               atol=0.02)
 
 
 def test_epl_prompt_peak_on_aligned_code():

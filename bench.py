@@ -28,14 +28,18 @@ import numpy as np
 
 N_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "32"))
 FS = float(os.environ.get("BENCH_FS", "10e6"))
-BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "100"))
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "40"))
+BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "500"))
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "20"))
+RUNTIME = os.environ.get("BENCH_RUNTIME", "batch")  # "batch" | "scan"
+USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 
 
 def bench_tracking():
     import jax
+    import jax.numpy as jnp
 
     from sydr_tpu.channels.runtime import TrackingConfig, run_block
+    from sydr_tpu.channels import batch_runtime as br
     import __graft_entry__ as g
 
     cfg = TrackingConfig(
@@ -43,18 +47,29 @@ def bench_tracking():
         block_ms=BLOCK_MS,
         tail_ms=4,
         window_size=int(round(FS * 1e-3)) + 256,
+        runtime=RUNTIME,
+        use_pallas=USE_PALLAS,
     )
-    codes, state, wre, wim = g._tracking_inputs(cfg, N_CHANNELS)
+    codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
+    rng = np.random.default_rng(0)
+    n_win = cfg.window_samples
+    wre = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
+    wim = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
+    if RUNTIME == "batch":
+        prns = [(k % 32) + 1 for k in range(N_CHANNELS)]
+        bits3x = jnp.asarray(br.tiled_code_bits(prns))
+        step = lambda st: br.run_block_batched(cfg, bits3x, st, wre, wim)
+    else:
+        step = lambda st: run_block(cfg, codes, st, wre, wim)
 
     # Warm-up / compile. NOTE: on the axon backend block_until_ready
     # returns early; a value fetch (np.asarray) is the only reliable fence.
-    state1, out = run_block(cfg, codes, state, wre, wim)
-    np.asarray(state1.rem_code)
+    st, out = step(state)
+    np.asarray(st.rem_code)
 
     t0 = time.time()
-    st = state1
     for _ in range(N_BLOCKS):
-        st, out = run_block(cfg, codes, st, wre, wim)
+        st, out = step(st)
     np.asarray(st.rem_code)  # drains the queued blocks (data dependency)
     wall = time.time() - t0
     signal_s = N_BLOCKS * BLOCK_MS * 1e-3

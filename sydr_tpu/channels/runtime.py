@@ -75,6 +75,11 @@ class TrackingConfig:
     carrier_aiding: bool = True
     min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
     bit_sync_flips: int = 10       # sign flips needed to declare bit sync
+    # "scan": per-ms feedback cadence (reference-exact); "batch": two-pass
+    # frozen-rate blocks (dense, time-parallel; see channels/batch_runtime).
+    runtime: str = "scan"
+    use_pallas: bool = False       # batch runtime: fused correlation kernel
+    pallas_interpret: bool = False  # run the kernel in interpreter mode
     epl_method: str = "bitpack"
 
     @property

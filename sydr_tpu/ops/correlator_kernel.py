@@ -1,0 +1,224 @@
+"""Fused Pallas correlation kernel for the batched tracking runtime.
+
+Computes the running cumulative sums of the six correlation streams
+(E/P/L x I/Q) over a whole block of IQ samples for all channels in one fused
+kernel — carrier generation, mixing, chip reconstruction and prefix
+summation never touch HBM between steps. This replaces the XLA dense pass of
+``sydr_tpu.channels.batch_runtime`` whose ~35 materialised [n_ch, n_win]
+intermediates made it HBM-bound (~38 ms/100 ms block); the kernel's traffic
+is the window read (shared), the word tables, and one float32 cumsum write.
+
+Chip reconstruction inside the kernel (no gathers — Mosaic on this backend
+supports none):
+  * code phase is linear in the window sample index (frozen-rate blocks);
+    per-millisecond anchors ``fb_q``/``phic_q`` carry float32 precision;
+  * each 128-lane row lies in at most two 128-sample chip groups, so the
+    per-group packed code word is selected with one lane-threshold select
+    from two per-row scalars (built per chunk from a 36-word slice with a
+    tiny one-hot);
+  * the chip is the ``l``-th bit of the word, extracted arithmetically via
+    an exponent-field bitcast (2^-l), floor and an FMA.
+
+Constraints: group size 128 (sampling rate >= ~6.9 Msps); the XLA dense path
+remains the fallback (and the CPU/interpret test oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
+
+CHUNK = 8192  # must stay <= samples_per_ms
+ROWS = CHUNK // 128
+SUPER = 4             # sub-chunks per program
+GSIZE = 128
+C0I_MIN = -1
+C0I_ROWS = 4
+WRUN = 36  # per-chunk word slice: up to 32 groups + margins
+
+
+def _kernel(spacings, spms, n_q, local, step0, n_win,
+            sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
+            out_ref, carry_ref):
+    """Grid (n_ch, n_super); out block = (1, 6, SUPER*CHUNK) running prefix."""
+    c = pl.program_id(0)
+    ks = pl.program_id(1)
+
+    @pl.when(ks == 0)
+    def _():
+        for i in range(8):
+            carry_ref[0, i] = 0.0
+
+    omega = sc_ref[c, 0]
+    code_step = sc_ref[c, 1]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    # strict-lower-triangular matrix for row-prefix accumulation
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    ).astype(jnp.float32)
+    # inclusive upper-triangular matrix: lane-axis prefix sums via the MXU
+    # (Mosaic has no cumsum primitive)
+    tri_incl = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
+    lane = col_i
+    wfull = words_ref[pl.ds(c, 1)][0]                         # [C0I_ROWS, 128]
+
+    for sub in range(SUPER):
+      k = ks * SUPER + sub
+      m0 = k * CHUNK
+      q0 = m0 // spms
+      q1 = jnp.minimum(q0 + 1, n_q - 1)
+      ms_next = (q0 + 1) * spms
+
+      fb0 = fbq_ref[c, q0]
+      fb1 = fbq_ref[c, q1]
+      ph0 = phq_ref[c, q0]
+      ph1 = phq_ref[c, q1]
+
+      m = m0 + row_i * 128 + col_i
+      in_q1 = m >= ms_next
+      lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
+      lm_f = lm.astype(jnp.float32)
+
+      phase = jnp.where(in_q1, ph1, ph0) - omega * lm_f
+      cosv = jnp.cos(phase)
+      sinv = jnp.sin(phase)
+      wre = win_re_ref[0, sub].reshape(ROWS, 128)
+      wim = win_im_ref[0, sub].reshape(ROWS, 128)
+      mre = cosv * wre - sinv * wim
+      mim = cosv * wim + sinv * wre
+
+      grp = lm >> 7
+      cs0v = jnp.floor(grp.astype(jnp.float32) * (GSIZE * step0)).astype(
+          jnp.int32
+      )
+
+      def words_for_run(fb_s, q_start_m, m0=m0):
+          """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
+
+          Mosaic forbids unaligned lane slices, so the per-row packed word is
+          picked from the full 128-group row with a lane one-hot reduction
+          using *absolute* group indices (negative for rows that start before
+          the run's millisecond — their one-hot is empty and the lanes are
+          masked by in_q1 anyway).
+          """
+          c0i = jnp.floor(fb_s).astype(jnp.int32)
+          rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
+          wrow = jnp.zeros((128,), jnp.float32)
+          for v in range(C0I_ROWS):
+              wrow = wrow + jnp.where(rowsel == v, wfull[v], 0.0)
+          l0 = m0 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) * 128 \
+              - q_start_m
+          grp_abs = l0 >> 7                                      # [ROWS, 1]
+          w_lo = jnp.sum(
+              jnp.where(lane == grp_abs, wrow[None, :], 0.0),
+              axis=1, keepdims=True)
+          w_hi = jnp.sum(
+              jnp.where(lane == grp_abs + 1, wrow[None, :], 0.0),
+              axis=1, keepdims=True)
+          lam = 128 - (l0 & 127)
+          return c0i, w_lo, w_hi, lam
+
+      out_idx = 0
+      for sp in spacings:
+          c0i_a, wlo_a, whi_a, lam_a = words_for_run(fb0 + sp, q0 * spms)
+          c0i_b, wlo_b, whi_b, lam_b = words_for_run(fb1 + sp, ms_next)
+
+          w_a = jnp.where(col_i >= lam_a, whi_a, wlo_a)
+          w_b = jnp.where(col_i >= lam_b, whi_b, wlo_b)
+          w = jnp.where(in_q1, w_b, w_a)
+
+          r_el = jnp.where(in_q1, fb1 + sp, fb0 + sp)
+          c0i_el = jnp.where(in_q1, c0i_b, c0i_a)
+          idxf = jnp.ceil(r_el + lm_f * code_step).astype(jnp.int32)
+          l = jnp.clip(idxf - c0i_el + 2 - cs0v, 0, local - 1)
+          p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
+          t = w * p2
+          bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
+          chip = 2.0 * bit - 1.0
+
+          for s in (chip * mre, chip * mim):
+              cs_row = jnp.dot(s, tri_incl,
+                               preferred_element_type=jnp.float32)
+              row_tot = cs_row[:, 127:128]
+              # strict-lower triangular matmul: prefix of previous row totals
+              row_pref = jnp.dot(tri, row_tot,
+                                 preferred_element_type=jnp.float32)
+              prefix = cs_row + row_pref
+              carry = carry_ref[0, out_idx]
+              out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
+                  prefix + carry
+              ).reshape(CHUNK)
+              carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
+              out_idx += 1
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
+                     "interpret"),
+)
+def block_cumsum_streams(
+    window_re, window_im, words, fb_q, phic_q, scalars,
+    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
+):
+    """Running prefix sums of the six correlation streams.
+
+    Args:
+        window_re/im: ``[n_win_pad]`` float32 (padded to CHUNK multiple).
+        words: ``[n_ch, C0I_ROWS, G]`` packed code words (G >= 128).
+        fb_q, phic_q: ``[n_ch, n_q]`` per-ms code/carrier phase anchors.
+        scalars: ``[n_ch, 8]`` per-channel (omega, code_step, ...).
+
+    Returns ``[n_ch, 6, n_win_pad]`` float32 INCLUSIVE prefixes:
+    ``out[..., i]`` = sum of the stream over samples [0, i].
+    """
+    n_ch = words.shape[0]
+    g_dim = words.shape[2]
+    n_win_pad = window_re.shape[0]
+    assert n_win_pad % CHUNK == 0
+    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
+    n_super = n_win_pad // (SUPER * CHUNK)
+    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
+    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
+
+    kern = functools.partial(
+        _kernel, spacings, spms, n_q, local, step0, n_win
+    )
+    in_specs = [
+        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n_ch, n_super),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 6, SUPER * CHUNK),
+                               lambda c, k: (c, 0, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ch, 6, n_win_pad), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 8), jnp.float32)],
+        interpret=interpret,
+    )(scalars, fb_q, phic_q, win2, win2i, words)

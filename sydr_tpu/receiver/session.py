@@ -23,7 +23,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from sydr_tpu.channels import runtime
+from sydr_tpu.channels import batch_runtime, runtime
 from sydr_tpu.channels.state import (
     MODE_ACQUIRING,
     MODE_IDLE,
@@ -67,6 +67,7 @@ class TrackingSession:
         self.acq_cfg = acq_cfg or AcquisitionConfig()
         self.n_channels = len(prns)
         self.codes = jnp.asarray(code_table(prns))
+        self.bits3x = jnp.asarray(batch_runtime.tiled_code_bits(prns))
         self.state: ChannelState = init_state(self.n_channels)
         self.state = dataclasses.replace(
             self.state,
@@ -190,10 +191,16 @@ class TrackingSession:
 
         window_re = np.concatenate([self._tail_re, block_re])
         window_im = np.concatenate([self._tail_im, block_im])
-        self.state, outputs = runtime.run_block(
-            cfg, self.codes, self.state,
-            jnp.asarray(window_re), jnp.asarray(window_im),
-        )
+        if cfg.runtime == "batch":
+            self.state, outputs = batch_runtime.run_block_batched(
+                cfg, self.bits3x, self.state,
+                jnp.asarray(window_re), jnp.asarray(window_im),
+            )
+        else:
+            self.state, outputs = runtime.run_block(
+                cfg, self.codes, self.state,
+                jnp.asarray(window_re), jnp.asarray(window_im),
+            )
         self.total_samples += expect
         tail = cfg.tail_ms * cfg.samples_per_ms
         self._tail_re = window_re[-tail:]

@@ -1,0 +1,91 @@
+"""Batched (two-pass) runtime vs scanned runtime equivalence tests."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sydr_tpu.channels.runtime import TrackingConfig
+from sydr_tpu.channels.state import FLAG_BIT_SYNC
+from sydr_tpu.receiver.session import TrackingSession
+from sydr_tpu.signal.synthetic import IQGenerator
+
+FS = 4e6
+
+
+def _run(runtime, n_ms=2400, seed=11):
+    rng = np.random.default_rng(seed)
+    sats = [
+        dict(prn=5, doppler=1200.0, code_phase=321.4),
+        dict(prn=12, doppler=-2600.0, code_phase=811.9),
+    ]
+    bits = rng.integers(0, 2, 200)
+    gen = IQGenerator(FS, noise=True, seed=seed)
+    for s in sats:
+        gen.add_satellite(s["prn"], doppler_hz=s["doppler"],
+                          code_phase_chips=s["code_phase"], cn0_dbhz=46.0,
+                          nav_bits=bits)
+    cfg = TrackingConfig(sampling_frequency=FS, block_ms=20, tail_ms=4,
+                         window_size=4224, runtime=runtime)
+    session = TrackingSession(cfg, [s["prn"] for s in sats])
+    outs = []
+    for _ in range(n_ms // cfg.block_ms):
+        iq = gen.generate_ms(cfg.block_ms)
+        outs.append(session.process_block(np.float32(iq.real),
+                                          np.float32(iq.imag)))
+    merged = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+    return session, merged, sats, bits
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    return {rt: _run(rt) for rt in ("scan", "batch")}
+
+
+def test_batch_tracks_and_locks(both_runs):
+    _, out, sats, _ = both_runs["batch"]
+    for i, s in enumerate(sats):
+        cf = out["carrier_freq"][-200:, i]
+        assert abs(cf.mean() - s["doppler"]) < 5.0, (i, cf.mean())
+        assert abs(out["pll_error"][-300:, i].mean()) < 5e-3
+        assert abs(out["dll_error"][-400:, i].mean()) < 0.03
+        assert out["flags"][-1, i] & FLAG_BIT_SYNC
+
+
+def test_batch_matches_scan_steady_state(both_runs):
+    _, scan_out, sats, _ = both_runs["scan"]
+    _, batch_out, _, _ = both_runs["batch"]
+    for i in range(len(sats)):
+        cf_s = scan_out["carrier_freq"][-200:, i].mean()
+        cf_b = batch_out["carrier_freq"][-200:, i].mean()
+        assert abs(cf_s - cf_b) < 2.0, (i, cf_s, cf_b)
+        cn0_s = scan_out["cn0"][-100:, i].mean()
+        cn0_b = batch_out["cn0"][-100:, i].mean()
+        assert abs(cn0_s - cn0_b) < 2.5, (i, cn0_s, cn0_b)
+        # Prompt amplitude (signal power recovered) must agree within a few %.
+        ip_s = np.abs(scan_out["i_prompt"][-300:, i]).mean()
+        ip_b = np.abs(batch_out["i_prompt"][-300:, i]).mean()
+        assert abs(ip_s - ip_b) < 0.05 * ip_s, (ip_s, ip_b)
+
+
+def test_batch_decodes_same_bits(both_runs):
+    _, scan_out, sats, bits = both_runs["scan"]
+    _, batch_out, _, _ = both_runs["batch"]
+    tiled = np.tile(bits * 2 - 1, 20)
+    ref = "".join("1" if b > 0 else "0" for b in tiled)
+    ref_inv = "".join("0" if b > 0 else "1" for b in tiled)
+    for out in (scan_out, batch_out):
+        for i in range(len(sats)):
+            ready = out["bit_ready"][:, i]
+            sums = out["bit_ip_sum"][ready, i]
+            assert len(sums) > 20
+            s = "".join("1" if b > 0 else "0" for b in np.sign(sums[5:]))
+            assert s in ref or s in ref_inv
+
+
+def test_batch_bit_cadence(both_runs):
+    _, out, sats, _ = both_runs["batch"]
+    for i in range(len(sats)):
+        idx = np.flatnonzero(out["bit_ready"][:, i])
+        gaps = np.diff(idx)
+        assert (np.abs(gaps - 20) <= 1).all()

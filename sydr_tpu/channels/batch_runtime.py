@@ -21,11 +21,15 @@ dense, embarrassingly parallel computation:
       arithmetic as the scanned runtime, with the resulting NCO corrections
       taking effect at the next block boundary.
 
-The feedback delay (loop updates applied per block instead of per epoch)
-changes phase-error accumulation by < rate_error * block_length; with
-block_ms <= 20 and locked loops this is well below discriminator noise, and
-the e2e PVT accuracy matches the scanned runtime (tested). For high-dynamics
-pull-in use the scanned runtime or a short block.
+The feedback delay (loop updates applied per block instead of per epoch) is
+handled two ways: (i) a *virtual NCO* — discriminator inputs in the replay
+are compensated by the corrections already applied within the block, and the
+accumulated virtual phase is realised into the NCO remainders at the block
+boundary — and (ii) the delayed-feedback stability rule
+``loop_bandwidth * block_length < ~0.15``: the Borre profile (<= 8 Hz) is
+stable at 20-100 ms blocks; the Kaplan pull-in bandwidths (25-100 Hz) need
+<= 5 ms blocks (or the scanned runtime) until NARROW_TRACK, after which the
+receiver can lengthen blocks for throughput.
 
 State layout, outputs, and flag semantics are identical to
 ``runtime.run_block`` — the two are drop-in interchangeable via
@@ -261,9 +265,13 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         scalars = jnp.stack(
             [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
         )
+        from sydr_tpu.ops import profiles as prof
+
+        spacings_eff = tuple(prof.spacings_for(cfg))
+        n_streams = 2 * len(spacings_eff)
         prefix = ck.block_cumsum_streams(
             wre_p, wim_p, words_p, fb_q, phic_q, scalars,
-            spacings=tuple(cfg.spacings), spms=spms, n_q=n_q, local=local,
+            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
             step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
         )
         req_eff = jnp.where(geo["active"], geo["required"], 0)
@@ -277,10 +285,11 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         flat = jnp.transpose(idxs_c, (2, 0, 1)).reshape(n_ch, 1, -1)
         vflat = jnp.transpose(valid_i, (2, 0, 1)).reshape(n_ch, 1, -1)
         picked = jnp.take_along_axis(
-            prefix, jnp.broadcast_to(flat, (n_ch, 6, flat.shape[-1])),
+            prefix,
+            jnp.broadcast_to(flat, (n_ch, n_streams, flat.shape[-1])),
             axis=-1,
         ) * vflat
-        picked = picked.reshape(n_ch, 6, 2, cfg.block_ms)
+        picked = picked.reshape(n_ch, n_streams, 2, cfg.block_ms)
         corr = picked[:, :, 1, :] - picked[:, :, 0, :]
         return jnp.transpose(corr, (2, 0, 1))
 
@@ -290,8 +299,11 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
     mre = cosv * window_re[None, :] - sinv * window_im[None, :]
     mim = cosv * window_im[None, :] + sinv * window_re[None, :]
 
+    from sydr_tpu.ops import profiles as prof
+
+    spacings_eff = prof.spacings_for(cfg)
     streams = []
-    for sp in cfg.spacings:
+    for sp in spacings_eff:
         r_q = fb_q + sp                                  # [n_ch, n_q]
         c0i_q = jnp.floor(r_q).astype(jnp.int32)
         row_q = jnp.clip(c0i_q - C0I_MIN, 0, C0I_ROWS - 1)
@@ -321,7 +333,8 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         streams.append(chips * mim)
 
     # --- Per-epoch segment sums via cumulative differences ------------------
-    cs = jnp.cumsum(jnp.stack(streams, axis=1), axis=-1)  # [n_ch, 6, n_win]
+    n_streams = len(streams)
+    cs = jnp.cumsum(jnp.stack(streams, axis=1), axis=-1)
     zero = jnp.zeros_like(cs[..., :1])
     cs = jnp.concatenate([zero, cs], axis=-1)
 
@@ -333,10 +346,11 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
     idxs = jnp.stack([b_start, b_end], axis=0)            # [2, block_ms, n_ch]
     idxs = jnp.transpose(idxs, (2, 0, 1)).reshape(n_ch, 1, -1)
     picked = jnp.take_along_axis(
-        cs, jnp.broadcast_to(idxs, (n_ch, 6, idxs.shape[-1])), axis=-1
-    ).reshape(n_ch, 6, 2, cfg.block_ms)
-    corr = picked[:, :, 1, :] - picked[:, :, 0, :]        # [n_ch, 6, block_ms]
-    return jnp.transpose(corr, (2, 0, 1))                 # [block_ms, n_ch, 6]
+        cs, jnp.broadcast_to(idxs, (n_ch, n_streams, idxs.shape[-1])),
+        axis=-1,
+    ).reshape(n_ch, n_streams, 2, cfg.block_ms)
+    corr = picked[:, :, 1, :] - picked[:, :, 0, :]
+    return jnp.transpose(corr, (2, 0, 1))                 # [bm, n_ch, 2S]
 
 
 # ---------------------------------------------------------------------------
@@ -344,26 +358,43 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
 # ---------------------------------------------------------------------------
 
 def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
-    dll_t1, dll_t2 = trk.loop_filter_taus(cfg.dll_bandwidth, cfg.dll_damping,
-                                          cfg.dll_gain)
-    pll_t1, pll_t2 = trk.loop_filter_taus(cfg.pll_bandwidth, cfg.pll_damping,
-                                          cfg.pll_gain)
+    import types
+
+    from sydr_tpu.ops import profiles as prof
+
+    frozen_carrier = st.carrier_freq
+    frozen_code_off = st.code_freq_offset
 
     def step(carry, inp):
-        (carrier_freq, code_off, dll_mem, pll_mem, ip_prev, qp_prev,
+        (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel,
+         lock_state, ip_prev, qp_prev,
          flags, code_counter, ms_counter, edge_hist, bit_edge, accum_count,
-         ip_sum, qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock) = carry
+         ip_sum, qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock,
+         phi_virt, chip_virt) = carry
         c, active = inp["corr"], inp["active"]
-        i_early, q_early = c[:, 0], c[:, 1]
-        i_prompt, q_prompt = c[:, 2], c[:, 3]
-        i_late, q_late = c[:, 4], c[:, 5]
 
-        code_err = trk.dll_nneml(i_early, q_early, i_late, q_late)
-        nco_code = trk.borre_loop_filter(code_err, dll_mem, dll_t1, dll_t2,
-                                         cfg.dll_pdi)
-        phase_err = trk.pll_costas(i_prompt, q_prompt)
-        nco_carrier = trk.borre_loop_filter(phase_err, pll_mem, pll_t1,
-                                            pll_t2, cfg.pll_pdi)
+        stv = types.SimpleNamespace(
+            dll_memory=dll_mem, pll_memory=pll_mem, fll_vel=fll_vel,
+            i_prompt_prev=ip_prev, q_prompt_prev=qp_prev,
+            pll_lock=pll_lock, fll_lock=fll_lock, lock_state=lock_state,
+            code_counter=code_counter,
+        )
+        # Virtual-NCO compensation: the within-block NCO is frozen, so the
+        # raw discriminators measure the full error; subtract the phase /
+        # frequency the already-applied corrections would have removed.
+        comp = {
+            "freq": carrier_freq - frozen_carrier,
+            "phase": phi_virt - jnp.round(phi_virt),
+            "code": chip_virt,
+        }
+        lu = prof.loop_update(cfg, c, stv, active, comp=comp)
+        i_early, q_early = lu["i_early"], lu["q_early"]
+        i_prompt, q_prompt = lu["i_prompt"], lu["q_prompt"]
+        i_late, q_late = lu["i_late"], lu["q_late"]
+        code_err = lu["code_err"]
+        phase_err = lu["phase_err"]
+        nco_code = lu["nco_code"]
+        nco_carrier = lu["nco_carrier"]
 
         new_carrier = carrier_freq + nco_carrier
         new_code_off = code_off - nco_code
@@ -404,14 +435,8 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         cn0_new = trk.cn0_nwpr(ip_sum, qp_sum, ip_sq, qp_sq)
         new_cn0 = jnp.where(bit_complete, cn0_new, cn0)
 
-        new_pll_lock = jnp.where(
-            active, trk.pll_lock_indicator(i_prompt, q_prompt, pll_lock),
-            pll_lock)
-        new_fll_lock = jnp.where(
-            active,
-            trk.fll_lock_indicator(i_prompt, q_prompt, ip_prev, qp_prev,
-                                   fll_lock),
-            fll_lock)
+        new_pll_lock = lu["pll_lock"]
+        new_fll_lock = lu["fll_lock"]
         new_flags = jnp.where(
             active,
             flags | FLAG_CODE_LOCK | jnp.where(bit_sync, FLAG_BIT_SYNC, 0),
@@ -426,6 +451,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
             "i_prompt": i_prompt, "q_prompt": q_prompt,
             "i_late": i_late, "q_late": q_late,
             "dll_error": code_err, "pll_error": phase_err,
+            "fll_error": lu["freq_err"], "lock_state": lu["lock_state"],
             "nco_code": nco_code, "nco_carrier": nco_carrier,
             "carrier_freq": upd(new_carrier, carrier_freq),
             "code_freq": GPS_L1CA_CODE_FREQ + geo["delta"],
@@ -441,10 +467,19 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         new_carry = (
             upd(new_carrier, carrier_freq), upd(new_code_off, code_off),
             upd(code_err, dll_mem), upd(phase_err, pll_mem),
+            upd(lu["freq_err"], fll_mem), lu["fll_vel"], lu["lock_state"],
             upd(i_prompt, ip_prev), upd(q_prompt, qp_prev),
             new_flags, upd(code_counter + 1, code_counter),
             new_ms_counter, new_hist, new_edge, new_accum,
             n_ip, n_qp, n_ip2, n_qp2, new_cn0, new_pll_lock, new_fll_lock,
+            jnp.where(active,
+                      phi_virt + (upd(new_carrier, carrier_freq)
+                                  - frozen_carrier) * 1e-3,
+                      phi_virt),
+            jnp.where(active,
+                      chip_virt + (upd(new_code_off, code_off)
+                                   - frozen_code_off) * 1e-3,
+                      chip_virt),
         )
         return new_carry, out
 
@@ -460,22 +495,32 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
     }
     init = (
         st.carrier_freq, st.code_freq_offset, st.dll_memory, st.pll_memory,
+        st.fll_memory, st.fll_vel, st.lock_state,
         st.i_prompt_prev, st.q_prompt_prev, st.flags, st.code_counter,
         st.ms_counter, st.edge_hist, st.bit_edge, st.accum_count,
         st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum, st.cn0,
         st.pll_lock, st.fll_lock,
+        jnp.zeros_like(st.carrier_freq), jnp.zeros_like(st.carrier_freq),
     )
     carry, outputs = jax.lax.scan(step, init, inputs)
-    (carrier_freq, code_off, dll_mem, pll_mem, ip_prev, qp_prev, flags,
+    (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel, lock_state,
+     ip_prev, qp_prev, flags,
      code_counter, ms_counter, edge_hist, bit_edge, accum_count, ip_sum,
-     qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock) = carry
+     qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock, phi_virt_end,
+     chip_virt_end) = carry
 
+    # End-of-block phase catch-up: realise the virtual-NCO phase the
+    # within-block corrections assumed (higher carrier frequency advances
+    # the wipe-off phase negatively; code-rate offsets add chips).
+    rem_carrier_end = jnp.mod(
+        geo["rem_carrier_end"] - TWO_PI * phi_virt_end, TWO_PI)
+    rem_code_end = geo["rem_code_end"] + chip_virt_end
     new_state = ChannelState(
         mode=st.mode, flags=flags,
         carrier_freq=carrier_freq, code_freq_offset=code_off,
-        rem_carrier=geo["rem_carrier_end"], rem_code=geo["rem_code_end"],
+        rem_carrier=rem_carrier_end, rem_code=rem_code_end,
         dll_memory=dll_mem, pll_memory=pll_mem,
-        fll_memory=st.fll_memory, fll_vel=st.fll_vel, fll_acc=st.fll_acc,
+        fll_memory=fll_mem, fll_vel=fll_vel, fll_acc=st.fll_acc,
         i_prompt_prev=ip_prev, q_prompt_prev=qp_prev,
         unread=geo["unread_end"], code_counter=code_counter,
         ms_counter=ms_counter, edge_hist=edge_hist, bit_edge=bit_edge,
@@ -483,7 +528,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         ip_sum=ip_sum, qp_sum=qp_sum, ip_abs_sum=st.ip_abs_sum,
         ip_sq_sum=ip_sq, qp_sq_sum=qp_sq,
         cn0=cn0, pll_lock=pll_lock, fll_lock=fll_lock,
-        lock_state=st.lock_state,
+        lock_state=lock_state,
     )
     return new_state, outputs
 

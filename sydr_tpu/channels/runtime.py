@@ -75,6 +75,21 @@ class TrackingConfig:
     carrier_aiding: bool = True
     min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
     bit_sync_flips: int = 10       # sign flips needed to declare bit sync
+    # Channel profile: "borre" (DLL+Costas PLL, 3 correlators) or "kaplan"
+    # (FLL-assisted PLL + lock-state machine, 5 correlators; reference
+    # channel_l1ca_kaplan.py).
+    profile: str = "borre"
+    spacing_wide: float = 0.5
+    spacing_narrow: float = 0.2
+    fll_bandwidth_pullin: float = 100.0
+    fll_bandwidth_wide: float = 50.0
+    fll_bandwidth_narrow: float = 15.0
+    pll_bandwidth_wide: float = 25.0
+    pll_bandwidth_narrow: float = 15.0
+    fll_threshold_wide: float = 0.5
+    fll_threshold_narrow: float = 0.8
+    pll_threshold_narrow: float = 0.8
+    lock_indicator_alpha: float = 0.005
     # "scan": per-ms feedback cadence (reference-exact); "batch": two-pass
     # frozen-rate blocks (dense, time-parallel; see channels/batch_runtime).
     runtime: str = "scan"
@@ -126,9 +141,11 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
     def one_channel(rp, code_row, req, cf, rem_ca, rem_co, cstep):
         wr = jax.lax.dynamic_slice(window_re, (rp,), (cfg.window_size,))
         wi = jax.lax.dynamic_slice(window_im, (rp,), (cfg.window_size,))
+        from sydr_tpu.ops import profiles as prof
+
         return trk.epl_correlate(
             wr, wi, code_row, req, cf, rem_ca, rem_co, cstep,
-            spacings=cfg.spacings, sampling_frequency=fs,
+            spacings=prof.spacings_for(cfg), sampling_frequency=fs,
             method=cfg.epl_method,
         )
 
@@ -136,22 +153,18 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         read_ptr, codes, required, st.carrier_freq, st.rem_carrier,
         st.rem_code, code_step,
     )  # [n_ch, 2 * n_spacings]
-    i_early, q_early = corr[:, 0], corr[:, 1]
-    i_prompt, q_prompt = corr[:, 2], corr[:, 3]
-    i_late, q_late = corr[:, 4], corr[:, 5]
 
-    # --- Discriminators + loop filters (Borre profile) --------------------
-    dll_t1, dll_t2 = trk.loop_filter_taus(cfg.dll_bandwidth, cfg.dll_damping,
-                                          cfg.dll_gain)
-    pll_t1, pll_t2 = trk.loop_filter_taus(cfg.pll_bandwidth, cfg.pll_damping,
-                                          cfg.pll_gain)
+    # --- Discriminators + loop filters (profile-dependent) -----------------
+    from sydr_tpu.ops import profiles as prof
 
-    code_err = trk.dll_nneml(i_early, q_early, i_late, q_late)
-    nco_code = trk.borre_loop_filter(code_err, st.dll_memory, dll_t1, dll_t2,
-                                     cfg.dll_pdi)
-    phase_err = trk.pll_costas(i_prompt, q_prompt)
-    nco_carrier = trk.borre_loop_filter(phase_err, st.pll_memory, pll_t1,
-                                        pll_t2, cfg.pll_pdi)
+    lu = prof.loop_update(cfg, corr, st, active)
+    i_early, q_early = lu["i_early"], lu["q_early"]
+    i_prompt, q_prompt = lu["i_prompt"], lu["q_prompt"]
+    i_late, q_late = lu["i_late"], lu["q_late"]
+    code_err = lu["code_err"]
+    phase_err = lu["phase_err"]
+    nco_code = lu["nco_code"]
+    nco_carrier = lu["nco_carrier"]
 
     # --- NCO / phase bookkeeping (reference channel_l1ca_borre.py:364,422) -
     rem_carrier = jnp.mod(
@@ -221,17 +234,8 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
     cn0_new = trk.cn0_nwpr(st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum)
     cn0 = jnp.where(bit_complete, cn0_new, st.cn0)
 
-    pll_lock = jnp.where(
-        active,
-        trk.pll_lock_indicator(i_prompt, q_prompt, st.pll_lock),
-        st.pll_lock,
-    )
-    fll_lock = jnp.where(
-        active,
-        trk.fll_lock_indicator(i_prompt, q_prompt, st.i_prompt_prev,
-                               st.q_prompt_prev, st.fll_lock),
-        st.fll_lock,
-    )
+    pll_lock = lu["pll_lock"]
+    fll_lock = lu["fll_lock"]
 
     flags = jnp.where(
         active,
@@ -251,8 +255,8 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         rem_code=upd(rem_code, st.rem_code),
         dll_memory=upd(code_err, st.dll_memory),
         pll_memory=upd(phase_err, st.pll_memory),
-        fll_memory=st.fll_memory,
-        fll_vel=st.fll_vel,
+        fll_memory=upd(lu["freq_err"], st.fll_memory),
+        fll_vel=lu["fll_vel"],
         fll_acc=st.fll_acc,
         i_prompt_prev=upd(i_prompt, st.i_prompt_prev),
         q_prompt_prev=upd(q_prompt, st.q_prompt_prev),
@@ -270,7 +274,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         cn0=cn0,
         pll_lock=pll_lock,
         fll_lock=fll_lock,
-        lock_state=st.lock_state,
+        lock_state=lu["lock_state"],
     )
 
     outputs = {
@@ -279,6 +283,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         "i_prompt": i_prompt, "q_prompt": q_prompt,
         "i_late": i_late, "q_late": q_late,
         "dll_error": code_err, "pll_error": phase_err,
+        "fll_error": lu["freq_err"], "lock_state": lu["lock_state"],
         "nco_code": nco_code, "nco_carrier": nco_carrier,
         "carrier_freq": carrier_freq,
         "code_freq": code_freq,

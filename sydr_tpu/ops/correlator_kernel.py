@@ -53,7 +53,7 @@ def _kernel(spacings, spms, n_q, local, step0, n_win,
 
     @pl.when(ks == 0)
     def _():
-        for i in range(8):
+        for i in range(16):
             carry_ref[0, i] = 0.0
 
     omega = sc_ref[c, 0]
@@ -187,6 +187,7 @@ def block_cumsum_streams(
     """
     n_ch = words.shape[0]
     g_dim = words.shape[2]
+    n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     assert n_win_pad % CHUNK == 0
     assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
@@ -215,10 +216,11 @@ def block_cumsum_streams(
         kern,
         grid=(n_ch, n_super),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 6, SUPER * CHUNK),
+        out_specs=pl.BlockSpec((1, n_streams, SUPER * CHUNK),
                                lambda c, k: (c, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, 6, n_win_pad), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 8), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, n_win_pad),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)

@@ -1,0 +1,183 @@
+"""Tracking-loop profiles: per-epoch discriminator/filter/lock updates.
+
+One vectorised update function shared by the scanned runtime
+(``channels.runtime``) and the batched runtime (``channels.batch_runtime``):
+
+* ``borre``  — NNEML DLL + Costas PLL, each through the Borre PI filter
+  (reference ``channel_l1ca_borre.py:382-396``). 3 correlators.
+* ``kaplan`` — FLL-assisted-PLL carrier loop (Kaplan 2006 DLF) with a
+  PULL_IN -> WIDE_TRACK -> NARROW_TRACK lock-state machine driven by the
+  FLL/PLL lock indicators, per-state bandwidths, and wide/narrow correlator
+  pairs (reference ``channel_l1ca_kaplan.py:434-619``). 5 correlators
+  (wide E, narrow E, P, narrow L, wide L); the discriminator pair is chosen
+  by the current lock state.
+
+All inputs/outputs are ``[n_ch]`` float32/int32 arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sydr_tpu.constants import (
+    DLF_A2,
+    DLF_W0_SCALE_1ST,
+    DLF_W0_SCALE_2ND,
+)
+from sydr_tpu.ops import tracking as trk
+
+LOCK_PULL_IN = 0
+LOCK_WIDE = 1
+LOCK_NARROW = 2
+
+
+def spacings_for(cfg) -> tuple:
+    if cfg.profile == "kaplan":
+        w, n = cfg.spacing_wide, cfg.spacing_narrow
+        return (-w, -n, 0.0, n, w)
+    return cfg.spacings
+
+
+def loop_update(cfg, corr, st, active, comp=None):
+    """One per-epoch loop update across channels.
+
+    Args:
+        cfg: TrackingConfig.
+        corr: ``[n_ch, 2 * n_spacings]`` correlators (i, q per spacing).
+        st: object with fields dll_memory, pll_memory, fll_vel,
+            i_prompt_prev, q_prompt_prev, pll_lock, fll_lock, lock_state,
+            code_counter (read-only here).
+        active: ``[n_ch]`` bool.
+        comp: optional virtual-NCO compensation dict with keys
+            ``freq`` [Hz], ``phase`` [cycles], ``code`` [chips] — subtracted
+            from the raw discriminators. Used by the batched runtime, whose
+            NCOs are frozen within a block: the raw discriminators keep
+            measuring the full error, so the already-applied (virtual)
+            corrections must be removed or the integrators wind up.
+
+    Returns dict with: i_early..q_late (selected pair), code_err, phase_err,
+    freq_err, nco_code, nco_carrier, fll_vel, pll_lock, fll_lock,
+    lock_state.
+    """
+    if cfg.profile == "kaplan":
+        i_e_w, q_e_w = corr[:, 0], corr[:, 1]
+        i_e_n, q_e_n = corr[:, 2], corr[:, 3]
+        i_p, q_p = corr[:, 4], corr[:, 5]
+        i_l_n, q_l_n = corr[:, 6], corr[:, 7]
+        i_l_w, q_l_w = corr[:, 8], corr[:, 9]
+        narrow = st.lock_state == LOCK_NARROW
+        i_e = jnp.where(narrow, i_e_n, i_e_w)
+        q_e = jnp.where(narrow, q_e_n, q_e_w)
+        i_l = jnp.where(narrow, i_l_n, i_l_w)
+        q_l = jnp.where(narrow, q_l_n, q_l_w)
+    else:
+        i_e, q_e = corr[:, 0], corr[:, 1]
+        i_p, q_p = corr[:, 2], corr[:, 3]
+        i_l, q_l = corr[:, 4], corr[:, 5]
+
+    # --- DLL (shared): NNEML + Borre PI filter -----------------------------
+    dll_t1, dll_t2 = trk.loop_filter_taus(
+        cfg.dll_bandwidth, cfg.dll_damping, cfg.dll_gain)
+    code_err = trk.dll_nneml(i_e, q_e, i_l, q_l)
+    if comp is not None:
+        code_err = code_err - comp["code"]
+    nco_code = trk.borre_loop_filter(
+        code_err, st.dll_memory, dll_t1, dll_t2, cfg.dll_pdi)
+
+    if cfg.profile == "kaplan":
+        pull_in = st.lock_state == LOCK_PULL_IN
+        freq_err = jnp.where(
+            st.code_counter > 1,
+            trk.fll_atan(i_p, q_p, st.i_prompt_prev, st.q_prompt_prev, 1e-3),
+            0.0,
+        )
+        phase_err = jnp.where(pull_in, 0.0, trk.pll_costas(i_p, q_p))
+        if comp is not None:
+            freq_err = jnp.where(st.code_counter > 1,
+                                 freq_err - comp["freq"], 0.0)
+            phase_err = jnp.where(pull_in, 0.0, phase_err - comp["phase"])
+
+        fll_bw = jnp.select(
+            [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
+            [cfg.fll_bandwidth_narrow, cfg.fll_bandwidth_wide],
+            cfg.fll_bandwidth_pullin,
+        )
+        pll_bw = jnp.select(
+            [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
+            [cfg.pll_bandwidth_narrow, cfg.pll_bandwidth_wide],
+            0.0,
+        )
+        nco_carrier, fll_vel = trk.fll_assisted_pll_2nd(
+            phase_err, freq_err,
+            fll_bw / DLF_W0_SCALE_1ST, pll_bw / DLF_W0_SCALE_2ND,
+            DLF_A2, 1e-3, st.fll_vel,
+        )
+        fll_vel = jnp.where(active, fll_vel, st.fll_vel)
+
+        alpha = cfg.lock_indicator_alpha
+        fll_lock = jnp.where(
+            active,
+            trk.fll_lock_indicator(i_p, q_p, st.i_prompt_prev,
+                                   st.q_prompt_prev, st.fll_lock,
+                                   alpha=alpha),
+            st.fll_lock)
+        pll_lock = jnp.where(
+            active & ~pull_in,
+            trk.pll_lock_indicator(i_p, q_p, st.pll_lock, alpha=alpha),
+            st.pll_lock)
+
+        # State machine (reference trackingStateUpdate :538-619).
+        to_narrow = (
+            (st.lock_state != LOCK_NARROW)
+            & (fll_lock >= cfg.fll_threshold_narrow)
+            & (pll_lock >= cfg.pll_threshold_narrow)
+        )
+        to_wide = (
+            ~to_narrow
+            & (st.lock_state != LOCK_WIDE)
+            & (fll_lock >= cfg.fll_threshold_wide)
+            & (fll_lock < cfg.fll_threshold_narrow)
+        )
+        to_pullin = (
+            ~to_narrow & ~to_wide
+            & (st.lock_state != LOCK_PULL_IN)
+            & (fll_lock <= cfg.fll_threshold_wide)
+        )
+        lock_state = jnp.where(
+            active,
+            jnp.where(to_narrow, LOCK_NARROW,
+                      jnp.where(to_wide, LOCK_WIDE,
+                                jnp.where(to_pullin, LOCK_PULL_IN,
+                                          st.lock_state))),
+            st.lock_state,
+        )
+    else:
+        pll_t1, pll_t2 = trk.loop_filter_taus(
+            cfg.pll_bandwidth, cfg.pll_damping, cfg.pll_gain)
+        phase_err = trk.pll_costas(i_p, q_p)
+        if comp is not None:
+            phase_err = phase_err - comp["phase"]
+        freq_err = jnp.zeros_like(phase_err)
+        nco_carrier = trk.borre_loop_filter(
+            phase_err, st.pll_memory, pll_t1, pll_t2, cfg.pll_pdi)
+        fll_vel = st.fll_vel
+        pll_lock = jnp.where(
+            active,
+            trk.pll_lock_indicator(i_p, q_p, st.pll_lock),
+            st.pll_lock)
+        fll_lock = jnp.where(
+            active,
+            trk.fll_lock_indicator(i_p, q_p, st.i_prompt_prev,
+                                   st.q_prompt_prev, st.fll_lock),
+            st.fll_lock)
+        lock_state = jnp.where(active, LOCK_NARROW, st.lock_state)
+
+    return {
+        "i_early": i_e, "q_early": q_e,
+        "i_prompt": i_p, "q_prompt": q_p,
+        "i_late": i_l, "q_late": q_l,
+        "code_err": code_err, "phase_err": phase_err, "freq_err": freq_err,
+        "nco_code": nco_code, "nco_carrier": nco_carrier,
+        "fll_vel": fll_vel, "pll_lock": pll_lock, "fll_lock": fll_lock,
+        "lock_state": lock_state,
+    }

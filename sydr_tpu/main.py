@@ -1,0 +1,216 @@
+"""Command-line entry point: run the receiver on a file or a scenario.
+
+Covers the reference ``main.py`` (config -> receiver -> run -> report) with a
+proper CLI the reference lacks (its config path is hard-coded,
+``/root/reference/main.py:16``)::
+
+    python -m sydr_tpu --config config/receiver.yaml
+    python -m sydr_tpu --config my_reference_style.ini --ms 10000
+    python -m sydr_tpu --demo          # synthetic 6-satellite scenario
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def _build_demo(args):
+    """Synthetic truth scenario (no dataset required)."""
+    import numpy as np
+
+    from sydr_tpu.channels.runtime import TrackingConfig
+    from sydr_tpu.config import RunConfig
+    from sydr_tpu.nav.ephemeris import Ephemeris
+    from sydr_tpu.receiver.receiver import ReceiverConfig
+    from sydr_tpu.signal.scenario import Scenario
+
+    rx_truth = np.array([2795125.165, 1236112.522, 5579646.006])
+    t0, week, fs = 302400.0, 2190, float(args.fs)
+    elements = [(2.094, 1.571), (1.047, 1.571), (3.142, 1.571),
+                (2.094, 0.785), (0.0, 1.571), (4.189, 1.571)]
+    sats = [
+        Ephemeris(
+            prn=k + 1, week=week, iodc=20 + k, iode=20 + k, toc=t0, toe=t0,
+            af0=2e-5 * ((k % 5) - 2), af1=1e-12, tgd=1e-9 * (k % 4),
+            ecc=0.003 + 0.0012 * k, sqrt_a=5153.7, m0=m0, omega0=om0,
+            i0=0.96, deltan=4.5e-9, crs=15.0, crc=180.0, cuc=-8e-7,
+            cus=7e-6, cic=-1e-7, cis=2e-8, omega_dot=-8e-9, i_dot=3e-10,
+        )
+        for k, (om0, m0) in enumerate(elements)
+    ]
+    scenario = Scenario(rx_truth, sats, t0, fs, cn0_dbhz=47.0, seed=3)
+    run_cfg = RunConfig(
+        receiver=ReceiverConfig(
+            prns=tuple(e.prn for e in sats),
+            tracking=TrackingConfig(
+                sampling_frequency=fs,
+                window_size=round(fs * 1e-3) + 256,
+                runtime=args.runtime,
+                use_pallas=args.pallas,
+                # Acquisition leaves up to 50 Hz Doppler error; the batched
+                # runtime's per-block feedback cannot pull that in with the
+                # Costas-only Borre loops, so batch mode runs the Kaplan
+                # FLL-assisted profile at short blocks (stability rule:
+                # loop_bandwidth * block_length < ~0.15).
+                profile="kaplan" if args.runtime == "batch" else "borre",
+                block_ms=5 if args.runtime == "batch" else 20,
+            ),
+            approx_position=tuple(rx_truth + 1000.0),
+            assisted_ephemerides={e.prn: e for e in sats},
+            tropo_enabled=False,
+        ),
+        name="demo",
+        ms_to_process=args.ms or 16000,
+        out_folder=args.out,
+        reference_position=tuple(rx_truth),
+    )
+    return run_cfg, scenario
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sydr_tpu", description="TPU-native GNSS software receiver")
+    parser.add_argument("--config", help="receiver config (.ini or .yaml)")
+    parser.add_argument("--demo", action="store_true",
+                        help="run the synthetic demo scenario")
+    parser.add_argument("--ms", type=int, default=None,
+                        help="milliseconds of signal to process")
+    parser.add_argument("--fs", type=float, default=4e6,
+                        help="demo sampling frequency [Hz]")
+    parser.add_argument("--out", default=".results", help="output folder")
+    parser.add_argument("--runtime", choices=("scan", "batch"),
+                        default="batch")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas correlation kernel")
+    parser.add_argument("--no-dashboard", action="store_true")
+    parser.add_argument("--no-report", action="store_true")
+    parser.add_argument("--checkpoint-every", type=int, default=0,
+                        help="save resumable state every N ms (0 = off)")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    import dataclasses
+
+    import numpy as np
+
+    from sydr_tpu import config as config_mod
+    from sydr_tpu.receiver.dashboard import Dashboard
+    from sydr_tpu.receiver.receiver import Receiver
+    from sydr_tpu.signal.rf import RFConfig, RFFileSource, SyntheticSource
+
+    if args.demo:
+        run_cfg, generator = _build_demo(args)
+        source = SyntheticSource(generator)
+    elif args.config:
+        run_cfg = config_mod.load(args.config)
+        if args.ms:
+            run_cfg.ms_to_process = args.ms
+        if run_cfg.rf_filepath is None:
+            print("config has no RF file; use --demo for synthetic runs",
+                  file=sys.stderr)
+            return 2
+        source = RFFileSource(RFConfig(
+            filepath=run_cfg.rf_filepath,
+            sampling_frequency=run_cfg.receiver.tracking.sampling_frequency,
+            intermediate_frequency=(
+                run_cfg.receiver.tracking.intermediate_frequency),
+            data_size=run_cfg.rf_data_size,
+            is_complex=run_cfg.rf_is_complex,
+        ))
+        if run_cfg.agnss_enabled and run_cfg.agnss_ephemeris_path:
+            from sydr_tpu.io.rinex import load_assisted_ephemerides
+
+            run_cfg.receiver = dataclasses.replace(
+                run_cfg.receiver,
+                assisted_ephemerides=load_assisted_ephemerides(
+                    run_cfg.agnss_ephemeris_path),
+            )
+    else:
+        parser.print_help()
+        return 2
+
+    os.makedirs(run_cfg.out_folder, exist_ok=True)
+    db_path = os.path.join(run_cfg.out_folder, f"{run_cfg.name}.db")
+    run_cfg.receiver = dataclasses.replace(
+        run_cfg.receiver, database_path=db_path)
+
+    receiver = Receiver(run_cfg.receiver)
+    dash = Dashboard(receiver, enabled=not args.no_dashboard)
+    block_ms = run_cfg.receiver.tracking.block_ms
+    chunk_ms = max(block_ms, 500 // block_ms * block_ms)
+
+    t_start = time.time()
+    processed = 0
+    try:
+        while processed < run_cfg.ms_to_process:
+            n = min(chunk_ms, run_cfg.ms_to_process - processed)
+            n -= n % block_ms
+            if n == 0:
+                break
+            try:
+                re, im = source.read_ms(n)
+            except EOFError:
+                logging.info("end of RF file")
+                break
+            receiver.process_ms((re, im))
+            processed += n
+            if receiver.block_outputs or True:
+                out = receiver.last_outputs
+                if out is not None:
+                    dash.update(out)
+            if args.checkpoint_every and processed % args.checkpoint_every == 0:
+                from sydr_tpu.receiver.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    receiver,
+                    os.path.join(run_cfg.out_folder,
+                                 f"{run_cfg.name}.ckpt.npz"),
+                )
+    finally:
+        dash.close()
+        source.close()
+
+    wall = time.time() - t_start
+    rtf = processed * 1e-3 / wall if wall > 0 else 0.0
+    print(f"processed {processed} ms of signal in {wall:.1f} s "
+          f"(RTF {rtf:.1f})")
+    if receiver.fixes:
+        fix = receiver.fixes[-1]
+        p = fix.solution.position
+        print(f"final fix: ECEF ({p[0]:.2f}, {p[1]:.2f}, {p[2]:.2f}) m, "
+              f"clock bias {fix.solution.clock_bias_m:.1f} m, "
+              f"nsat {fix.n_satellites}")
+        if run_cfg.reference_position is not None:
+            err = np.linalg.norm(p - np.asarray(run_cfg.reference_position))
+            print(f"error vs reference position: {err:.2f} m")
+    else:
+        print("no position fix produced")
+
+    if receiver.db is not None:
+        receiver.db.commit()
+        if not args.no_report:
+            from sydr_tpu.io.report import generate_report
+
+            path = generate_report(
+                receiver.db,
+                os.path.join(run_cfg.out_folder,
+                             f"report_{run_cfg.name}.html"),
+                reference_position=run_cfg.reference_position,
+                title=f"sydr_tpu — {run_cfg.name}",
+            )
+            print(f"report: {path}")
+        receiver.db.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

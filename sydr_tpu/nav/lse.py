@@ -111,3 +111,44 @@ def solve_pvt(
         sat_positions=sat_pos,
         geometry=g,
     )
+
+
+def solve_velocity(
+    dopplers_hz: np.ndarray,
+    ephemerides: list,
+    receive_time: float,
+    position: np.ndarray,
+    carrier_frequency: float = 1575.42e6,
+) -> tuple[np.ndarray, float] | None:
+    """Receiver velocity + clock drift from carrier Doppler measurements.
+
+    The reference only forms Doppler measurements in its legacy tree
+    (``old/receiver_gps_l1.py:441-451``) and never solves velocity; here the
+    measured Doppler (tracked carrier frequency minus IF) closes a linear
+    least-squares velocity solution:
+
+        -c/fL1 * doppler_i = (v_rx - v_sat_i) . los_i + c*clock_drift
+
+    Returns (velocity_ecef [3] m/s, clock_drift [s/s]) or None if
+    under-determined.
+    """
+    d = np.asarray(dopplers_hz, dtype=np.float64)
+    n = len(d)
+    if n < 4:
+        return None
+    g = np.zeros((n, 4))
+    y = np.zeros(n)
+    for i, eph in enumerate(ephemerides):
+        sat_pos, sat_vel, _ = satellite_position_velocity(eph, receive_time)
+        los = sat_pos - position
+        los /= np.linalg.norm(los)
+        # rr = (v_sat - v_rx).los + c*drift and d = -rr*fL1/c, so
+        #   v_rx.los - c*drift = v_sat.los + d*c/fL1
+        y[i] = sat_vel @ los + d[i] * SPEED_OF_LIGHT / carrier_frequency
+        g[i, :3] = los
+        g[i, 3] = -1.0
+    try:
+        x, *_ = np.linalg.lstsq(g, y, rcond=None)
+    except np.linalg.LinAlgError:
+        return None
+    return x[:3], float(x[3] / SPEED_OF_LIGHT)

@@ -53,6 +53,20 @@ class ReceiverConfig:
     # Assisted mode: externally supplied ephemerides ({prn: Ephemeris}) allow
     # fixes before broadcast decode completes (reference AGNSS).
     assisted_ephemerides: dict | None = None
+    # Measurement types.
+    enable_doppler: bool = True
+    # Atmospheric corrections (applied once a position estimate exists).
+    tropo_enabled: bool = True
+    iono_enabled: bool = False
+    iono_alpha: tuple = (0.0, 0.0, 0.0, 0.0)
+    iono_beta: tuple = (0.0, 0.0, 0.0, 0.0)
+    # Lock-loss reacquisition: channels whose C/N0 stays below the threshold
+    # for ``reacq_blocks`` consecutive blocks are reset to ACQUIRING.
+    reacq_cn0_threshold: float = 25.0
+    reacq_blocks: int = 25
+    # Persistence (None = no database).
+    database_path: str | None = None
+    log_tracking_decimation: int = 20
 
 
 @dataclasses.dataclass
@@ -62,6 +76,9 @@ class PvtFix:
     solution: PvtSolution
     n_satellites: int
     prns: tuple
+    week: int = 0
+    velocity: "np.ndarray | None" = None      # ECEF [m/s]
+    clock_drift: float | None = None          # [s/s]
 
 
 class _ChannelBookkeeping:
@@ -136,6 +153,17 @@ class Receiver:
         self._next_meas_sample = None
         self.block_outputs: list[dict] = []
         self.keep_outputs = False
+        self.last_outputs: dict | None = None
+        self._low_cn0_blocks = np.zeros(len(cfg.prns), dtype=int)
+        self._acq_logged: set = set()
+        self._block_index = 0
+        self.db = None
+        if cfg.database_path:
+            from sydr_tpu.io.database import ResultDatabase
+
+            self.db = ResultDatabase(cfg.database_path)
+            for i, prn in enumerate(cfg.prns):
+                self.db.add("channel", {"channel_id": i, "prn": prn})
 
     # ------------------------------------------------------------------
     @property
@@ -164,6 +192,7 @@ class Receiver:
         for k in range(len(re) // spb):
             sl = slice(k * spb, (k + 1) * spb)
             out = self.session.process_block(re[sl], im[sl])
+            self.last_outputs = out
             if self.keep_outputs:
                 self.block_outputs.append(out)
             for i, ch in enumerate(self.channels):
@@ -176,7 +205,82 @@ class Receiver:
                         "PRN %d subframe %d tow=%d", ch.prn, ev.subframe_id,
                         ev.tow_label,
                     )
+                    if self.db is not None:
+                        self.db.add("decoding", {
+                            "channel_id": i, "prn": ch.prn,
+                            "subframe_id": int(ev.subframe_id),
+                            "tow": int(ev.tow_label),
+                            "bits": np.asarray(ev.bits, dtype=np.uint8),
+                        })
+            self._post_block(out)
             self._maybe_measure(out)
+            self._block_index += 1
+
+    # ------------------------------------------------------------------
+    def _post_block(self, out) -> None:
+        """Per-block logging, lock monitoring and reacquisition."""
+        cfg = self.cfg
+        # Log acquisition results once per handoff.
+        for i, res in self.session.acq_results.items():
+            key = (i, res["code_index"], round(res["doppler"]))
+            if key not in self._acq_logged:
+                self._acq_logged.add(key)
+                logger.info(
+                    "PRN %d acquired: doppler=%+.0f Hz metric=%.2f",
+                    res["prn"], res["doppler"], res["metric"])
+                if self.db is not None:
+                    self.db.add("acquisition", {
+                        "channel_id": i, "prn": res["prn"],
+                        "doppler": res["doppler"],
+                        "code_index": res["code_index"],
+                        "metric": res["metric"],
+                        "sample": self.session.total_samples,
+                    })
+
+        # Tracking rows (decimated).
+        if self.db is not None and cfg.log_tracking_decimation > 0:
+            step = cfg.log_tracking_decimation
+            base_epoch = self._block_index * cfg.tracking.block_ms
+            for e in range(0, out["active"].shape[0], step):
+                for i in range(len(self.channels)):
+                    if not out["active"][e, i]:
+                        continue
+                    self.db.add("tracking", {
+                        "channel_id": i, "epoch": base_epoch + e,
+                        "i_early": float(out["i_early"][e, i]),
+                        "q_early": float(out["q_early"][e, i]),
+                        "i_prompt": float(out["i_prompt"][e, i]),
+                        "q_prompt": float(out["q_prompt"][e, i]),
+                        "i_late": float(out["i_late"][e, i]),
+                        "q_late": float(out["q_late"][e, i]),
+                        "dll_error": float(out["dll_error"][e, i]),
+                        "pll_error": float(out["pll_error"][e, i]),
+                        "carrier_freq": float(out["carrier_freq"][e, i]),
+                        "code_freq": float(out["code_freq"][e, i]),
+                        "cn0": float(out["cn0"][e, i]),
+                        "pll_lock": float(out["pll_lock"][e, i]),
+                        "fll_lock": float(out["fll_lock"][e, i]),
+                        "flags": int(out["flags"][e, i]),
+                    })
+
+        # Lock-loss detection -> reacquisition (the reference has no
+        # infrastructural recovery; lost channels just idle).
+        for i, ch in enumerate(self.channels):
+            if self.session.mode_host[i] != MODE_TRACKING:
+                continue
+            tracking_long = ch.n_codes > 1000
+            cn0 = float(out["cn0"][-1, i])
+            if tracking_long and 0.0 < cn0 < cfg.reacq_cn0_threshold:
+                self._low_cn0_blocks[i] += 1
+            else:
+                self._low_cn0_blocks[i] = 0
+            if self._low_cn0_blocks[i] >= cfg.reacq_blocks:
+                logger.warning(
+                    "PRN %d lost lock (C/N0 %.1f dB-Hz); reacquiring",
+                    ch.prn, cn0)
+                self.session.reset_channel(i)
+                self.channels[i] = _ChannelBookkeeping(ch.prn)
+                self._low_cn0_blocks[i] = 0
 
     # ------------------------------------------------------------------
     def _transmit_time_at(self, i: int, sample: int) -> float | None:
@@ -204,6 +308,36 @@ class Receiver:
         return t_boundary + (sample - p) * step / GPS_L1CA_CODE_LENGTH * 1e-3
 
     # ------------------------------------------------------------------
+    def _atmospheric_delay(self, eph, t_rx: float, t_tx: float) -> float:
+        """Tropospheric + ionospheric delay [m] for one satellite.
+
+        Needs a position estimate (last fix or approx); returns 0 before one
+        is available or when both models are disabled.
+        """
+        cfg = self.cfg
+        if not (cfg.tropo_enabled or cfg.iono_enabled):
+            return 0.0
+        if self.fixes:
+            pos = self.fixes[-1].solution.position
+        else:
+            pos = np.asarray(cfg.approx_position, dtype=np.float64)
+        if np.linalg.norm(pos) < 1e6:
+            return 0.0
+        from sydr_tpu.nav import atmosphere, geodesy
+        from sydr_tpu.nav.kepler import satellite_position_velocity
+
+        sat_pos, _, _ = satellite_position_velocity(eph, t_tx)
+        el, az = geodesy.elevation_azimuth(sat_pos, pos)
+        lat, lon, h = geodesy.ecef_to_geodetic(pos)
+        delay = 0.0
+        if cfg.tropo_enabled:
+            delay += atmosphere.tropo_delay_collins(el, lat, max(h, 0.0))
+        if cfg.iono_enabled:
+            delay += atmosphere.iono_delay_klobuchar(
+                el, az, lat, lon, t_rx, cfg.iono_alpha, cfg.iono_beta)
+        return float(delay)
+
+    # ------------------------------------------------------------------
     def _maybe_measure(self, out) -> None:
         sample = self.session.total_samples
         if self._next_meas_sample is not None and sample < self._next_meas_sample:
@@ -211,7 +345,7 @@ class Receiver:
 
         ready = []
         for i, ch in enumerate(self.channels):
-            if int(self.session.state.mode[i]) != MODE_TRACKING:
+            if self.session.mode_host[i] != MODE_TRACKING:
                 continue
             if not ch.has_tow:
                 continue
@@ -237,17 +371,25 @@ class Receiver:
             self.clock_sample = sample
         t_rx = self.clock_tow + (sample - self.clock_sample) / self.fs
 
-        prs, ephs, prns = [], [], []
+        prs, raw_prs, ephs, prns, dops, ch_idx = [], [], [], [], [], []
         for i, ch, eph in ready:
-            pr = (t_rx - tx_times[i]) * SPEED_OF_LIGHT
+            raw = (t_rx - tx_times[i]) * SPEED_OF_LIGHT
+            pr = raw
             _, _, clk = _sat_clock(eph, tx_times[i])
             # L1 single-frequency: + c*dt_sv - c*TGD (IS-GPS-200 20.3.3.3.3.2;
             # the reference *adds* TGD, receiver_gps_l1ca.py:248 — spec sign
             # used here).
             pr += clk * SPEED_OF_LIGHT - eph.tgd * SPEED_OF_LIGHT
+            pr -= self._atmospheric_delay(eph, t_rx, tx_times[i])
             prs.append(pr)
+            raw_prs.append(raw)
             ephs.append(eph)
             prns.append(ch.prn)
+            dops.append(
+                float(self.session.state.carrier_freq[i])
+                - self.cfg.tracking.intermediate_frequency
+            )
+            ch_idx.append(i)
 
         sol = solve_pvt(
             np.asarray(prs), ephs, t_rx,
@@ -257,12 +399,42 @@ class Receiver:
         self._next_meas_sample = sample + period
         if sol is None or not sol.converged:
             return
-        self.fixes.append(
-            PvtFix(
-                tow=t_rx, sample=sample, solution=sol,
-                n_satellites=len(prs), prns=tuple(prns),
-            )
+        velocity, drift = None, None
+        if self.cfg.enable_doppler:
+            from sydr_tpu.nav.lse import solve_velocity
+
+            vel_sol = solve_velocity(
+                np.asarray(dops), ephs, t_rx, sol.position)
+            if vel_sol is not None:
+                velocity, drift = vel_sol
+        week = ephs[0].week if ephs else 0
+        fix = PvtFix(
+            tow=t_rx, sample=sample, solution=sol,
+            n_satellites=len(prs), prns=tuple(prns), week=week,
+            velocity=velocity, clock_drift=drift,
         )
+        self.fixes.append(fix)
+        if self.db is not None:
+            self.db.add("position", {
+                "tow": t_rx, "sample": sample,
+                "x": float(sol.position[0]), "y": float(sol.position[1]),
+                "z": float(sol.position[2]),
+                "clock_bias": sol.clock_bias_m,
+                "n_satellites": len(prs), "gdop": sol.gdop,
+            })
+            for k, i in enumerate(ch_idx):
+                self.db.add("measurement", {
+                    "tow": t_rx, "channel_id": i, "prn": prns[k],
+                    "mtype": "pseudorange", "value": prs[k],
+                    "raw_value": raw_prs[k],
+                    "residual": float(sol.residuals[k]),
+                })
+                if self.cfg.enable_doppler:
+                    self.db.add("measurement", {
+                        "tow": t_rx, "channel_id": i, "prn": prns[k],
+                        "mtype": "doppler", "value": dops[k],
+                        "raw_value": dops[k], "residual": 0.0,
+                    })
         # Steer the receiver clock with the solved bias (reference :378).
         self.clock_tow = t_rx - sol.clock_bias_m / SPEED_OF_LIGHT
         self.clock_sample = sample

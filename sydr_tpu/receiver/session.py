@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -69,13 +70,11 @@ class TrackingSession:
         self.codes = jnp.asarray(code_table(prns))
         self.bits3x = jnp.asarray(batch_runtime.tiled_code_bits(prns))
         self.state: ChannelState = init_state(self.n_channels)
+        self.mode_host = np.where(
+            np.asarray([p > 0 for p in self.prns]), MODE_ACQUIRING, MODE_IDLE
+        ).astype(np.int32)
         self.state = dataclasses.replace(
-            self.state,
-            mode=jnp.where(
-                jnp.asarray([p > 0 for p in self.prns]),
-                MODE_ACQUIRING,
-                MODE_IDLE,
-            ).astype(jnp.int32),
+            self.state, mode=jnp.asarray(self.mode_host)
         )
         spms = cfg.samples_per_ms
         self.total_samples = 0
@@ -108,9 +107,8 @@ class TrackingSession:
     def _maybe_acquire(self):
         """Run PCPS for channels in ACQUIRING mode once enough history."""
         pending = [
-            i
-            for i in range(self.n_channels)
-            if int(self.state.mode[i]) == MODE_ACQUIRING
+            i for i in range(self.n_channels)
+            if self.mode_host[i] == MODE_ACQUIRING
         ]
         need = self.acq_cfg.required_ms * self.cfg.samples_per_ms
         if not pending or self.total_samples < need:
@@ -148,7 +146,7 @@ class TrackingSession:
             * GPS_L1CA_CODE_LENGTH
             / GPS_L1CA_CODE_FREQ
         )
-        mode = np.array(self.state.mode)
+        mode = np.array(self.mode_host)
         carrier = np.array(self.state.carrier_freq)
         code_off = np.array(self.state.code_freq_offset)
         unread = np.array(self.state.unread)
@@ -171,6 +169,7 @@ class TrackingSession:
             # Start at the last code boundary of the acquisition window
             # (reference channel_l1ca_borre.py:309-311).
             unread[i] = samples_per_code - int(code_idx[j]) - 1
+        self.mode_host = mode
         self.state = dataclasses.replace(
             self.state,
             mode=jnp.asarray(mode),
@@ -208,3 +207,22 @@ class TrackingSession:
         self._update_hist(block_re, block_im)
         self._maybe_acquire()
         return {k: np.asarray(v) for k, v in outputs.items()}
+
+    # ------------------------------------------------------------------
+    def reset_channel(self, i: int) -> None:
+        """Reset channel ``i`` to ACQUIRING (lock-loss reacquisition)."""
+        import dataclasses as dc
+
+        from sydr_tpu.channels.state import MODE_ACQUIRING, init_state
+
+        fresh = init_state(self.n_channels)
+
+        def reset_leaf(cur, init):
+            return cur.at[i].set(init[i])
+
+        self.state = jax.tree_util.tree_map(
+            reset_leaf, self.state,
+            dc.replace(fresh, mode=jnp.full_like(fresh.mode, MODE_ACQUIRING)),
+        )
+        self.mode_host[i] = MODE_ACQUIRING
+        self.acq_results.pop(i, None)

@@ -58,8 +58,7 @@ def make_sky(min_elevation_deg=15.0):
     return visible
 
 
-@pytest.fixture(scope="module")
-def e2e_run():
+def _run_e2e(runtime):
     sats = make_sky()
     assert len(sats) >= 5, f"scenario needs >=5 visible sats, got {len(sats)}"
     sats = sats[:6]
@@ -69,10 +68,17 @@ def e2e_run():
     cfg = ReceiverConfig(
         prns=tuple(e.prn for e in sats),
         tracking=TrackingConfig(
-            sampling_frequency=FS, block_ms=20, tail_ms=4, window_size=4224,
+            sampling_frequency=FS, tail_ms=4, window_size=4224,
+            runtime=runtime,
+            # Batch feedback delay cannot pull in off-grid Doppler with the
+            # Borre loops: batch mode pairs with the Kaplan profile at short
+            # blocks (see channels/batch_runtime docstring).
+            profile="kaplan" if runtime == "batch" else "borre",
+            block_ms=5 if runtime == "batch" else 20,
         ),
         approx_position=tuple(RX_TRUTH + np.array([3000.0, -2000.0, 1500.0])),
         assisted_ephemerides={e.prn: e for e in sats},
+        tropo_enabled=False,  # the scenario simulates a vacuum
     )
     rx = Receiver(cfg)
     total_ms = 16000
@@ -81,6 +87,16 @@ def e2e_run():
         iq = scn.generate_ms(chunk)
         rx.process_ms(iq)
     return scn, rx, sats
+
+
+@pytest.fixture(scope="module")
+def e2e_run():
+    return _run_e2e("scan")
+
+
+@pytest.fixture(scope="module")
+def e2e_run_batch():
+    return _run_e2e("batch")
 
 
 def test_all_channels_acquired(e2e_run):
@@ -115,3 +131,13 @@ def test_fix_repeatability(e2e_run):
         p = np.stack([f.solution.position for f in rx.fixes])
         spread = np.linalg.norm(p - p.mean(axis=0), axis=1).max()
         assert spread < 5.0, spread
+
+
+def test_fix_matches_truth_batch_runtime(e2e_run_batch):
+    _, rx, _ = e2e_run_batch
+    n_with_tow = sum(ch.has_tow for ch in rx.channels)
+    assert n_with_tow >= 4, f"only {n_with_tow} channels decoded TOW"
+    assert len(rx.fixes) >= 1, "no PVT fix produced (batch runtime)"
+    fix = rx.fixes[-1]
+    err = np.linalg.norm(fix.solution.position - RX_TRUTH)
+    assert err < 2.0, f"position error {err:.2f} m"

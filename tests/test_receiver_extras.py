@@ -1,0 +1,208 @@
+"""Receiver infrastructure tests: config, checkpoint/resume, reacquisition,
+report generation, atmosphere models."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from sydr_tpu.channels.runtime import TrackingConfig
+from sydr_tpu.receiver.checkpoint import load_checkpoint, save_checkpoint
+from sydr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from sydr_tpu.signal.synthetic import IQGenerator
+
+FS = 4e6
+
+
+def _cfg(**kw):
+    return ReceiverConfig(
+        prns=(5, 12),
+        tracking=TrackingConfig(sampling_frequency=FS, block_ms=20,
+                                tail_ms=4, window_size=4224),
+        tropo_enabled=False,
+        **kw,
+    )
+
+
+def _gen(seed=11, cn0=46.0):
+    rng = np.random.default_rng(seed)
+    bits = rng.integers(0, 2, 200)
+    gen = IQGenerator(FS, noise=True, seed=seed)
+    gen.add_satellite(5, doppler_hz=1200.0, code_phase_chips=321.4,
+                      cn0_dbhz=cn0, nav_bits=bits)
+    gen.add_satellite(12, doppler_hz=-2600.0, code_phase_chips=811.9,
+                      cn0_dbhz=cn0, nav_bits=bits)
+    return gen
+
+
+def test_config_ini_reference_format(tmp_path):
+    chan = tmp_path / "chan.ini"
+    chan.write_text(
+        "[ACQUISITION]\ndoppler_range = 4000\ndoppler_steps = 200\n"
+        "coherent_integration = 4\nnon_coherent_integration = 8\n"
+        "threshold = 1.8\n"
+        "[TRACKING]\ncorrelator_early = -0.4\ncorrelator_prompt = 0\n"
+        "correlator_late = 0.4\ndll_noise_bandwidth = 2.0\n"
+        "pll_noise_bandwidth = 12.0\n"
+    )
+    ini = tmp_path / "receiver.ini"
+    ini.write_text(
+        "[DEFAULT]\nname = TEST\nms_to_process = 5000\n"
+        "outfolder = /tmp/x\napprox_position_x = 1.0\n"
+        "approx_position_y = 2.0\napprox_position_z = 3.0\n"
+        "reference_position_x = 10.0\nreference_position_y = 20.0\n"
+        "reference_position_z = 30.0\n"
+        "[RFSIGNAL]\nfilepath = /data/iq.bin\nsampling_frequency = 5e6\n"
+        "intermediate_frequency = 0.0\ndata_size = 16\nis_complex = true\n"
+        "[SATELLITES]\ninclude_prn = 2,3,4\n"
+        "[MEASUREMENTS]\nfrequency = 2\npseudorange = True\ndoppler = True\n"
+        f"[CHANNELS]\ngps_l1ca = {chan}\n"
+    )
+    from sydr_tpu import config as cfgmod
+
+    rc = cfgmod.load(str(ini))
+    assert rc.name == "TEST"
+    assert rc.ms_to_process == 5000
+    assert rc.rf_filepath == "/data/iq.bin"
+    assert rc.rf_data_size == 16
+    assert rc.receiver.prns == (2, 3, 4)
+    assert rc.receiver.tracking.sampling_frequency == 5e6
+    assert rc.receiver.tracking.spacings == (-0.4, 0.0, 0.4)
+    assert rc.receiver.tracking.dll_bandwidth == 2.0
+    assert rc.receiver.tracking.pll_bandwidth == 12.0
+    assert rc.receiver.acquisition.doppler_step == 200
+    assert rc.receiver.acquisition.threshold == 1.8
+    assert rc.receiver.measurement_period_ms == 500
+    assert rc.reference_position == (10.0, 20.0, 30.0)
+    assert rc.measurements_enabled["doppler"]
+
+
+def test_config_yaml(tmp_path):
+    y = tmp_path / "rx.yaml"
+    y.write_text(
+        "sampling_frequency: 4e6\n"
+        "prns: [5, 12]\n"
+        "tracking:\n  block_ms: 10\n  profile: kaplan\n"
+        "acquisition:\n  doppler_range: 6000\n"
+        "receiver:\n  measurement_period_ms: 2000\n"
+        "run:\n  name: yamltest\n  ms_to_process: 1234\n"
+    )
+    from sydr_tpu import config as cfgmod
+
+    rc = cfgmod.load(str(y))
+    assert rc.receiver.tracking.block_ms == 10
+    assert rc.receiver.tracking.profile == "kaplan"
+    assert rc.receiver.acquisition.doppler_range == 6000
+    assert rc.receiver.measurement_period_ms == 2000
+    assert rc.ms_to_process == 1234
+    assert rc.name == "yamltest"
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Resumed receiver must produce identical downstream outputs."""
+    gen_a = _gen()
+    rx_a = Receiver(_cfg())
+    for _ in range(60):  # 1200 ms
+        rx_a.process_ms(gen_a.generate_ms(20))
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(rx_a, ckpt)
+
+    # Continue original.
+    tail_a = []
+    for _ in range(30):
+        rx_a.process_ms(gen_a.generate_ms(20))
+        tail_a.append(rx_a.last_outputs)
+
+    # Fresh receiver + restore; feed identical signal continuation.
+    gen_b = _gen()
+    _ = gen_b.generate_ms(1200)  # advance generator to the checkpoint
+    rx_b = Receiver(_cfg())
+    load_checkpoint(rx_b, ckpt)
+    tail_b = []
+    for _ in range(30):
+        rx_b.process_ms(gen_b.generate_ms(20))
+        tail_b.append(rx_b.last_outputs)
+
+    for oa, ob in zip(tail_a, tail_b):
+        np.testing.assert_array_equal(oa["i_prompt"], ob["i_prompt"])
+        np.testing.assert_array_equal(oa["flags"], ob["flags"])
+        np.testing.assert_array_equal(oa["carrier_freq"], ob["carrier_freq"])
+    for ca, cb in zip(rx_a.channels, rx_b.channels):
+        assert ca.n_codes == cb.n_codes
+        assert ca.bits_pushed == cb.bits_pushed
+        assert ca.tow_ref == cb.tow_ref
+
+
+def test_reacquisition_on_lock_loss():
+    """Signal vanishes -> C/N0 collapses -> channel resets to ACQUIRING."""
+    from sydr_tpu.channels.state import MODE_ACQUIRING
+
+    cfg = _cfg(reacq_cn0_threshold=30.0, reacq_blocks=5)
+    rx = Receiver(cfg)
+    gen = _gen()
+    for _ in range(100):  # 2 s with signal
+        rx.process_ms(gen.generate_ms(20))
+    assert all(m == 2 for m in rx.session.mode_host)  # tracking
+
+    # Replace the signal with pure noise.
+    rng = np.random.default_rng(0)
+    spms = rx.cfg.tracking.samples_per_ms
+    for _ in range(100):
+        noise = (rng.standard_normal(20 * spms)
+                 + 1j * rng.standard_normal(20 * spms)) * np.sqrt(0.5)
+        rx.process_ms(noise.astype(np.complex64))
+        if any(m == MODE_ACQUIRING for m in rx.session.mode_host):
+            break
+    assert any(m == MODE_ACQUIRING for m in rx.session.mode_host), \
+        "no channel was reset after losing the signal"
+
+
+def test_report_generation(tmp_path):
+    cfg = _cfg(database_path=str(tmp_path / "run.db"))
+    rx = Receiver(cfg)
+    gen = _gen()
+    for _ in range(40):
+        rx.process_ms(gen.generate_ms(20))
+    rx.db.add("position", {"tow": 1.0, "sample": 1, "x": 2795125.0,
+                           "y": 1236112.0, "z": 5579646.0,
+                           "clock_bias": 10.0, "n_satellites": 5,
+                           "gdop": 2.0})
+    rx.db.add("position", {"tow": 2.0, "sample": 2, "x": 2795126.0,
+                           "y": 1236113.0, "z": 5579645.0,
+                           "clock_bias": 11.0, "n_satellites": 5,
+                           "gdop": 2.1})
+    from sydr_tpu.io.report import generate_report
+
+    out = generate_report(rx.db, str(tmp_path / "report.html"),
+                          reference_position=(2795125.165, 1236112.5,
+                                              5579646.0))
+    text = open(out).read()
+    assert "Acquisition" in text
+    assert "Tracking" in text
+    assert "Position" in text
+    assert "base64" in text
+    assert os.path.getsize(out) > 50_000  # embedded figures
+    rx.db.close()
+
+
+def test_atmosphere_models():
+    from sydr_tpu.nav import atmosphere
+
+    # Zenith tropo ~2.3-2.5 m at sea level; grows at low elevation.
+    z = atmosphere.tropo_delay_collins(np.deg2rad(90), np.deg2rad(45), 0.0)
+    assert 2.0 < z < 3.0
+    low = atmosphere.tropo_delay_collins(np.deg2rad(5), np.deg2rad(45), 0.0)
+    assert low > 5 * z
+    # Height reduces the delay.
+    high = atmosphere.tropo_delay_collins(np.deg2rad(90), np.deg2rad(45),
+                                          3000.0)
+    assert high < z
+
+    # Klobuchar with typical broadcast coefficients: metres-level, positive.
+    alpha = (1.1176e-8, 7.4506e-9, -5.9605e-8, -5.9605e-8)
+    beta = (90112.0, 0.0, -196610.0, -65536.0)
+    d = atmosphere.iono_delay_klobuchar(
+        np.deg2rad(40), np.deg2rad(210), np.deg2rad(40), np.deg2rad(260),
+        50700.0, alpha, beta)
+    assert 1.0 < d < 40.0

@@ -166,6 +166,149 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
 # Pass B: dense correlation over per-channel aligned regions
 # ---------------------------------------------------------------------------
 
+
+def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
+    """Per-block dense-pass geometry: code/carrier phase anchors + words.
+
+    Code phase at *window* sample m is ``B + m*step (mod 1023)``; the integer
+    part of B is folded into a per-channel cyclic roll of the code bits (one
+    dynamic_slice) from which the packed chip words are built with a
+    compile-time gather. Per-millisecond anchor tables carry float32
+    precision for the fractional parts. Shared by the single-device dense
+    pass and the time-sharded (sequence-parallel) variant.
+    """
+    spms = cfg.samples_per_ms
+    fs = cfg.sampling_frequency
+    gsize, local = _group_size(fs)
+    step0 = GPS_L1CA_CODE_FREQ / fs
+    n_q = cfg.tail_ms + cfg.block_ms
+    L = GPS_L1CA_CODE_LENGTH
+    delta = geo["delta"]
+    omega = geo["omega"]
+
+    # Window position of the first consumed sample (epoch-0 read pointer).
+    avail0 = (cfg.tail_ms + 1) * spms
+    unread0 = jnp.minimum(st.unread + spms, avail0)
+    base = avail0 - unread0                              # [n_ch] int32
+    a_ms = base // spms
+    b_rem = base % spms
+
+    # Code phase intercept B = rem0 - base*step (mod 1023), exact-rational.
+    rem0 = geo["rem_code"][0]
+    b1023 = (b_rem * jnp.int32(L)).astype(jnp.float32)   # exact in int32
+    B = rem0 - base.astype(jnp.float32) * (delta / fs) - b1023 / spms
+    B = jnp.mod(B, float(L))
+    c_int = jnp.floor(B).astype(jnp.int32)               # [0, 1022]
+    fb = B - c_int.astype(jnp.float32)                   # [0, 1)
+
+    # Device-side packed words from rolled code bits:
+    # rolled[p] = chip (c_int - 8 + p) mod 1023 = bits3x[L + c_int - 8 + p]
+    roll_start = L + c_int - 8
+    rolled = jax.vmap(
+        lambda bt, s0: jax.lax.dynamic_slice(bt, (s0,), (1064,))
+    )(bits3x, roll_start)
+    n_groups = (spms + gsize - 1) // gsize + 1
+    cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
+    windex = (
+        8
+        + (C0I_MIN + np.arange(C0I_ROWS))[:, None, None]
+        - 2
+        + cs0[None, :, None]
+        + np.arange(local)[None, None, :]
+    )                                                    # [4, G, local] static
+    pow2 = jnp.asarray((2.0 ** np.arange(local)).astype(np.float32))
+    words = jnp.sum(rolled[:, windex] * pow2, axis=-1)   # [n_ch, 4, G]
+
+    qs = jnp.arange(n_q, dtype=jnp.float32)
+    fb_q = fb[:, None] + qs[None, :] * (spms * delta / fs)[:, None]
+    w_ms = jnp.mod(omega * spms, TWO_PI)
+    phic0 = (
+        geo["rem_carrier"][0]
+        + a_ms.astype(jnp.float32) * w_ms
+        + omega * b_rem.astype(jnp.float32)
+    )
+    phic_q = jnp.mod(phic0[:, None] - qs[None, :] * w_ms[:, None], TWO_PI)
+    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q}
+
+
+def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
+                  window_re, window_im, q_offset=0):
+    """Correlation streams over a window slice aligned to ms boundaries.
+
+    Args:
+        window_re/im: ``[n_samples]`` slice; its first sample must lie at
+            global per-ms grid index ``q_offset`` (``q_offset`` may be a
+            traced integer — the time-sharded path passes the shard index).
+
+    Returns ``[n_ch, n_streams, n_samples]`` float32.
+    """
+    from sydr_tpu.ops import profiles as prof
+
+    spms = cfg.samples_per_ms
+    fs = cfg.sampling_frequency
+    gsize, local = _group_size(fs)
+    step0 = GPS_L1CA_CODE_FREQ / fs
+    n_ch = words.shape[0]
+    n_samp = window_re.shape[-1]
+    assert n_samp % spms == 0, "slice must be whole milliseconds"
+    n_ms_l = n_samp // spms
+    n_groups = words.shape[-1]
+
+    q_offset = jnp.asarray(q_offset, jnp.int32)
+    fb_l = jax.lax.dynamic_slice(
+        fb_q, (jnp.int32(0), q_offset), (n_ch, n_ms_l))
+    ph_l = jax.lax.dynamic_slice(
+        phic_q, (jnp.int32(0), q_offset), (n_ch, n_ms_l))
+
+    def expand_ms(x_q):
+        return jnp.repeat(x_q, spms, axis=1)
+
+    def expand_group(x_qg):
+        x = jnp.repeat(x_qg, gsize, axis=2)[:, :, :spms]
+        return x.reshape(n_ch, n_ms_l * spms)
+
+    lm = np.arange(n_samp, dtype=np.int64) % spms
+    lm_f = jnp.asarray(lm.astype(np.float32))
+    grp = lm // gsize
+    cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
+    cs0_m = jnp.asarray(cs0[np.minimum(grp, n_groups - 1)].astype(np.int32))
+
+    phase = expand_ms(ph_l) - omega[:, None] * lm_f[None, :]
+    cosv, sinv = jnp.cos(phase), jnp.sin(phase)
+    mre = cosv * window_re[None, :] - sinv * window_im[None, :]
+    mim = cosv * window_im[None, :] + sinv * window_re[None, :]
+
+    streams = []
+    for sp in prof.spacings_for(cfg):
+        r_q = fb_l + sp
+        c0i_q = jnp.floor(r_q).astype(jnp.int32)
+        row_q = jnp.clip(c0i_q - C0I_MIN, 0, C0I_ROWS - 1)
+        w_qg = jnp.zeros((n_ch, n_ms_l, n_groups), jnp.float32)
+        for v in range(C0I_ROWS):
+            w_qg = w_qg + jnp.where(
+                (row_q == v)[:, :, None], words[:, v, :][:, None, :], 0.0
+            )
+        w_rep = expand_group(w_qg)
+        r_m = expand_ms(r_q)
+        c0i_m = expand_ms(c0i_q.astype(jnp.float32)).astype(jnp.int32)
+
+        idx_frac = jnp.ceil(
+            r_m + lm_f[None, :] * code_step[:, None]
+        ).astype(jnp.int32)
+        l = idx_frac - c0i_m + 2 - cs0_m[None, :]
+        l_clip = jnp.clip(l, 0, local - 1)
+        p2 = jax.lax.bitcast_convert_type(
+            ((127 - l_clip) << 23).astype(jnp.int32), jnp.float32
+        )
+        t = w_rep * p2
+        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
+        in_range = ((l >= 0) & (l < local)).astype(jnp.float32)
+        chips = (2.0 * bit - 1.0) * in_range
+        streams.append(chips * mre)
+        streams.append(chips * mim)
+    return jnp.stack(streams, axis=1)
+
+
 def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
             window_re, window_im):
     """Correlators ``[block_ms, n_ch, 6]`` for the whole block.
@@ -184,69 +327,14 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
     step0 = GPS_L1CA_CODE_FREQ / fs
     n_win = cfg.window_samples
     n_q = cfg.tail_ms + cfg.block_ms
-    L = GPS_L1CA_CODE_LENGTH
 
     delta = geo["delta"]
     code_step = geo["code_step"]
     omega = geo["omega"]
 
-    # Window position of the first consumed sample (epoch-0 read pointer).
-    avail0 = (cfg.tail_ms + 1) * spms
-    unread0 = jnp.minimum(st.unread + spms, avail0)
-    base = avail0 - unread0                              # [n_ch] int32
-    a_ms = base // spms
-    b_rem = base % spms
-
-    # --- Code phase intercept B = rem0 - base*step (mod 1023), exact-rational
-    rem0 = geo["rem_code"][0]
-    b1023 = (b_rem * jnp.int32(L)).astype(jnp.float32)   # exact in int32
-    B = rem0 - base.astype(jnp.float32) * (delta / fs) - b1023 / spms
-    B = jnp.mod(B, float(L))
-    c_int = jnp.floor(B).astype(jnp.int32)               # [0, 1022]
-    fb = B - c_int.astype(jnp.float32)                   # [0, 1)
-
-    # --- Device-side packed words from rolled code bits --------------------
-    # rolled[p] = chip (c_int - 8 + p) mod 1023 = bits3x[L + c_int - 8 + p]
-    roll_start = L + c_int - 8
-    rolled = jax.vmap(
-        lambda bt, s0: jax.lax.dynamic_slice(bt, (s0,), (1064,))
-    )(bits3x, roll_start)
-    n_groups = (spms + gsize - 1) // gsize + 1
-    cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
-    windex = (
-        8
-        + (C0I_MIN + np.arange(C0I_ROWS))[:, None, None]
-        - 2
-        + cs0[None, :, None]
-        + np.arange(local)[None, None, :]
-    )                                                    # [4, G, local] static
-    pow2 = jnp.asarray((2.0 ** np.arange(local)).astype(np.float32))
-    words = jnp.sum(rolled[:, windex] * pow2, axis=-1)   # [n_ch, 4, G]
-
-    # --- Per-ms grids ------------------------------------------------------
-    qs = jnp.arange(n_q, dtype=jnp.float32)
-    fb_q = fb[:, None] + qs[None, :] * (spms * delta / fs)[:, None]
-    w_ms = jnp.mod(omega * spms, TWO_PI)
-    phic0 = (
-        geo["rem_carrier"][0]
-        + a_ms.astype(jnp.float32) * w_ms
-        + omega * b_rem.astype(jnp.float32)
-    )
-    phic_q = jnp.mod(phic0[:, None] - qs[None, :] * w_ms[:, None], TWO_PI)
-
-    def expand_ms(x_q):
-        """[n_ch, n_q] -> [n_ch, n_win] by per-ms repetition."""
-        return jnp.repeat(x_q, spms, axis=1)[:, :n_win]
-
-    def expand_group(x_qg):
-        """[n_ch, n_q, G] -> [n_ch, n_win] by per-group repetition."""
-        x = jnp.repeat(x_qg, gsize, axis=2)[:, :, :spms]
-        return x.reshape(n_ch, n_q * spms)[:, :n_win]
-
-    lm = np.arange(n_win, dtype=np.int64) % spms
-    lm_f = jnp.asarray(lm.astype(np.float32))
-    grp = lm // gsize
-    cs0_m = jnp.asarray(cs0[grp].astype(np.int32))       # static [n_win]
+    bg = block_geometry(cfg, bits3x, st, geo)
+    base, words, fb_q, phic_q = (
+        bg["base"], bg["words"], bg["fb_q"], bg["phic_q"])
 
     # --- Fused Pallas kernel path ------------------------------------------
     if cfg.use_pallas and gsize == 128:
@@ -293,46 +381,12 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         corr = picked[:, :, 1, :] - picked[:, :, 0, :]
         return jnp.transpose(corr, (2, 0, 1))
 
-    # --- Dense mix ---------------------------------------------------------
-    phase = expand_ms(phic_q) - omega[:, None] * lm_f[None, :]
-    cosv, sinv = jnp.cos(phase), jnp.sin(phase)
-    mre = cosv * window_re[None, :] - sinv * window_im[None, :]
-    mim = cosv * window_im[None, :] + sinv * window_re[None, :]
-
-    from sydr_tpu.ops import profiles as prof
-
-    spacings_eff = prof.spacings_for(cfg)
-    streams = []
-    for sp in spacings_eff:
-        r_q = fb_q + sp                                  # [n_ch, n_q]
-        c0i_q = jnp.floor(r_q).astype(jnp.int32)
-        row_q = jnp.clip(c0i_q - C0I_MIN, 0, C0I_ROWS - 1)
-        # words row select per (ms, group): [n_ch, n_q, G]
-        w_qg = jnp.zeros((n_ch, n_q, n_groups), jnp.float32)
-        for v in range(C0I_ROWS):
-            w_qg = w_qg + jnp.where(
-                (row_q == v)[:, :, None], words[:, v, :][:, None, :], 0.0
-            )
-        w_rep = expand_group(w_qg)                        # [n_ch, n_win]
-        r_m = expand_ms(r_q)
-        c0i_m = expand_ms(c0i_q.astype(jnp.float32)).astype(jnp.int32)
-
-        idx_frac = jnp.ceil(
-            r_m + lm_f[None, :] * code_step[:, None]
-        ).astype(jnp.int32)
-        l = idx_frac - c0i_m + 2 - cs0_m[None, :]
-        l_clip = jnp.clip(l, 0, local - 1)
-        p2 = jax.lax.bitcast_convert_type(
-            ((127 - l_clip) << 23).astype(jnp.int32), jnp.float32
-        )
-        t = w_rep * p2
-        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
-        in_range = ((l >= 0) & (l < local)).astype(jnp.float32)
-        chips = (2.0 * bit - 1.0) * in_range
-        streams.append(chips * mre)
-        streams.append(chips * mim)
-
-    # --- Per-epoch segment sums via cumulative differences ------------------
+    # --- Dense mix (via the shared slice helper) ---------------------------
+    streams_arr = dense_streams(
+        cfg, words, fb_q, phic_q, omega, code_step,
+        window_re, window_im, q_offset=0,
+    )
+    streams = [streams_arr[:, i] for i in range(streams_arr.shape[1])]
     n_streams = len(streams)
     cs = jnp.cumsum(jnp.stack(streams, axis=1), axis=-1)
     zero = jnp.zeros_like(cs[..., :1])

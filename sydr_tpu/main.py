@@ -195,7 +195,9 @@ def main(argv=None) -> int:
     else:
         print("no position fix produced")
 
+    print(receiver.timers.report())
     if receiver.db is not None:
+        receiver.timers.store(receiver.db)
         receiver.db.commit()
         if not args.no_report:
             from sydr_tpu.io.report import generate_report

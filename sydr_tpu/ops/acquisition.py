@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
+from sydr_tpu.constants import GPS_L1CA_CODE_LENGTH as GPS_L1CA_CODE_LENGTH_I
 from sydr_tpu.ops import fft as mmfft
 from sydr_tpu.signal import cacode
 
@@ -213,3 +214,91 @@ def acquire(
         corr, jnp.asarray(bins), samples_per_chip=samples_per_chip
     )
     return doppler, code_idx, metric, corr
+
+
+# ---------------------------------------------------------------------------
+# Serial search (time-domain) acquisition
+# ---------------------------------------------------------------------------
+
+def code_shift_matrix(prn: int, sampling_frequency: float) -> np.ndarray:
+    """``[samples_per_code, 1023]`` float32: column k = code shifted k chips.
+
+    Host-precomputed operand of the matmul serial search (one per PRN;
+    ~40 MB at 10 Msps, bf16-castable).
+    """
+    code = cacode.ca_code(prn)
+    cols = [
+        cacode.upsample_code(np.roll(code, k), sampling_frequency)
+        for k in range(GPS_L1CA_CODE_LENGTH_I)
+    ]
+    return np.stack(cols, axis=1).astype(np.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sampling_frequency", "intermediate_frequency",
+                     "doppler_chunk"),
+)
+def serial_search(
+    iq_re: jax.Array,
+    iq_im: jax.Array,
+    shift_matrix: jax.Array,
+    bins: jax.Array,
+    *,
+    sampling_frequency: float,
+    intermediate_frequency: float = 0.0,
+    doppler_chunk: int = 8,
+):
+    """Time-domain acquisition: carrier wipe-off then code-shift matmul.
+
+    The reference's ``SerialSearch`` (``dsp/acquisition.py:119-155``) loops
+    over every (Doppler, code shift) pair in Python; here the code-shift axis
+    is one MXU matmul per Doppler chunk:
+
+        map[f, k] = |mixed_f . C[:, k]|^2
+
+    Args:
+        iq_re/iq_im: ``[n]`` float32 (one code period).
+        shift_matrix: ``[n, 1023]`` from :func:`code_shift_matrix`.
+        bins: ``[n_dop]`` float32 (pad to a multiple of doppler_chunk).
+
+    Returns ``[n_dop, 1023]`` float32 correlation map.
+    """
+    n = iq_re.shape[-1]
+    n_dop = bins.shape[0]
+    assert n_dop % doppler_chunk == 0
+    t = jnp.arange(n, dtype=jnp.float32) / sampling_frequency
+
+    def one_chunk(chunk_bins):
+        phase = -2.0 * jnp.pi * (
+            intermediate_frequency + chunk_bins[:, None]) * t[None]
+        cos, sin = jnp.cos(phase), jnp.sin(phase)
+        mre = iq_re[None] * cos - iq_im[None] * sin
+        mim = iq_re[None] * sin + iq_im[None] * cos
+        i_corr = jnp.dot(mre, shift_matrix,
+                         preferred_element_type=jnp.float32)
+        q_corr = jnp.dot(mim, shift_matrix,
+                         preferred_element_type=jnp.float32)
+        return i_corr**2 + q_corr**2
+
+    chunks = bins.reshape(n_dop // doppler_chunk, doppler_chunk)
+    maps = jax.lax.map(one_chunk, chunks)
+    return maps.reshape(n_dop, GPS_L1CA_CODE_LENGTH_I)
+
+
+def peak_metric_ss(corr_map: jax.Array):
+    """Two-peak metric with a 3x3 exclusion box (reference
+    ``TwoCorrelationPeakComparison_SS``, dsp/acquisition.py:159-193).
+
+    Returns ((freq_idx, code_idx), metric).
+    """
+    corr_map = jnp.asarray(corr_map)
+    n_dop, n_code = corr_map.shape
+    flat = jnp.argmax(corr_map)
+    fi, ci = flat // n_code, flat % n_code
+    peak1 = corr_map[fi, ci]
+    fgrid = jnp.arange(n_dop)[:, None]
+    cgrid = jnp.arange(n_code)[None, :]
+    excl = (jnp.abs(fgrid - fi) <= 1) & (jnp.abs(cgrid - ci) <= 1)
+    peak2 = jnp.max(jnp.where(excl, -jnp.inf, corr_map))
+    return (fi, ci), peak1 / peak2

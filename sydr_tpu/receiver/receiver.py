@@ -157,6 +157,9 @@ class Receiver:
         self._low_cn0_blocks = np.zeros(len(cfg.prns), dtype=int)
         self._acq_logged: set = set()
         self._block_index = 0
+        from sydr_tpu.utils.metrics import StageTimers
+
+        self.timers = StageTimers()
         self.db = None
         if cfg.database_path:
             from sydr_tpu.io.database import ResultDatabase
@@ -191,7 +194,8 @@ class Receiver:
         assert len(re) % spb == 0, "feed whole blocks"
         for k in range(len(re) // spb):
             sl = slice(k * spb, (k + 1) * spb)
-            out = self.session.process_block(re[sl], im[sl])
+            with self.timers.time("track_block"):
+                out = self.session.process_block(re[sl], im[sl])
             self.last_outputs = out
             if self.keep_outputs:
                 self.block_outputs.append(out)
@@ -212,8 +216,10 @@ class Receiver:
                             "tow": int(ev.tow_label),
                             "bits": np.asarray(ev.bits, dtype=np.uint8),
                         })
-            self._post_block(out)
-            self._maybe_measure(out)
+            with self.timers.time("decode"):
+                self._post_block(out)
+            with self.timers.time("measure"):
+                self._maybe_measure(out)
             self._block_index += 1
 
     # ------------------------------------------------------------------

@@ -48,9 +48,14 @@ class AcquisitionConfig:
     coherent: int = 5
     non_coherent: int = 10
     threshold: float = 1.5
+    # "pcps" (FFT circular correlation) or "serial" (time-domain matmul
+    # search, the reference's SerialSearch channel variant).
+    method: str = "pcps"
 
     @property
     def required_ms(self) -> int:
+        if self.method == "serial":
+            return 1
         return self.coherent * self.non_coherent
 
 
@@ -114,6 +119,9 @@ class TrackingSession:
         if not pending or self.total_samples < need:
             return
 
+        if self.acq_cfg.method == "serial":
+            self._acquire_serial(pending)
+            return
         if self._code_ffts is None:
             self._code_ffts = {
                 i: acq.split_reim(
@@ -226,3 +234,58 @@ class TrackingSession:
         )
         self.mode_host[i] = MODE_ACQUIRING
         self.acq_results.pop(i, None)
+
+    # ------------------------------------------------------------------
+    def _acquire_serial(self, pending) -> None:
+        """Time-domain serial-search acquisition (one code period)."""
+        spms = self.cfg.samples_per_ms
+        bins = acq.doppler_bins(self.acq_cfg.doppler_range,
+                                self.acq_cfg.doppler_step)
+        pad = (-len(bins)) % 8
+        bins_p = np.concatenate([bins, np.repeat(bins[-1:], pad)])
+        iq_re = self._hist_re[-spms:]
+        iq_im = self._hist_im[-spms:]
+        samples_per_chip = self.cfg.sampling_frequency / GPS_L1CA_CODE_FREQ
+        mode = np.array(self.mode_host)
+        carrier = np.array(self.state.carrier_freq)
+        code_off = np.array(self.state.code_freq_offset)
+        unread = np.array(self.state.unread)
+        samples_per_code = round(spms)
+        for i in pending:
+            shift = acq.code_shift_matrix(self.prns[i],
+                                          self.cfg.sampling_frequency)
+            cmap = acq.serial_search(
+                iq_re, iq_im, jnp.asarray(shift), jnp.asarray(bins_p),
+                sampling_frequency=self.cfg.sampling_frequency,
+                intermediate_frequency=self.cfg.intermediate_frequency,
+            )[: len(bins)]
+            (fi, ci_chips), metric = acq.peak_metric_ss(cmap)
+            # Chip-shift k peaks when the stream phase is 1023 - k chips;
+            # convert to the PCPS sample-index convention.
+            code_idx = int(
+                round(float(ci_chips) * samples_per_chip)
+            ) % samples_per_code
+            self.acq_results[i] = {
+                "prn": self.prns[i],
+                "doppler": float(bins[int(fi)]),
+                "code_index": code_idx,
+                "metric": float(metric),
+            }
+            if float(metric) < self.acq_cfg.threshold:
+                mode[i] = MODE_IDLE
+                continue
+            mode[i] = MODE_TRACKING
+            carrier[i] = self.cfg.intermediate_frequency + float(bins[int(fi)])
+            if not self.cfg.carrier_aiding:
+                code_off[i] = float(bins[int(fi)]) * (
+                    GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ
+                )
+            unread[i] = samples_per_code - code_idx - 1
+        self.mode_host = mode
+        self.state = dataclasses.replace(
+            self.state,
+            mode=jnp.asarray(mode),
+            carrier_freq=jnp.asarray(carrier),
+            code_freq_offset=jnp.asarray(code_off),
+            unread=jnp.asarray(unread),
+        )

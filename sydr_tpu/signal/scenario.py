@@ -41,7 +41,10 @@ from sydr_tpu.constants import (
 )
 from sydr_tpu.decoding.lnav_encode import encode_message
 from sydr_tpu.nav.geodesy import correct_earth_rotation
-from sydr_tpu.nav.kepler import satellite_position_velocity
+from sydr_tpu.nav.kepler import (
+    satellite_position_velocity,
+    satellite_position_velocity_vec,
+)
 from sydr_tpu.signal import cacode
 
 _CHIPS_PER_BIT = GPS_L1CA_CODE_LENGTH * LNAV_MS_PER_BIT
@@ -110,6 +113,29 @@ class Scenario:
         return float(tau)
 
     # ------------------------------------------------------------------
+    def _phases_at_vec(self, sat: ScenarioSat, ts: np.ndarray):
+        """Vectorised (code_phase, carrier_phase) at receiver times ``ts``."""
+        tau = np.full(len(ts), 0.075)
+        for _ in range(4):
+            pos, _, _ = satellite_position_velocity_vec(sat.eph, ts - tau)
+            ang = 7.2921151467e-5 * tau
+            c, s_ = np.cos(ang), np.sin(ang)
+            rot = np.stack([
+                c * pos[:, 0] + s_ * pos[:, 1],
+                -s_ * pos[:, 0] + c * pos[:, 1],
+                pos[:, 2],
+            ], axis=-1)
+            tau = np.linalg.norm(rot - self.rx[None, :], axis=-1) \
+                / SPEED_OF_LIGHT
+        t_tx = ts - tau
+        _, _, clk = satellite_position_velocity_vec(sat.eph, t_tx)
+        t_sv = t_tx + clk - sat.eph.tgd
+        code_phase = GPS_L1CA_CODE_FREQ * (t_sv - self.t0)
+        carrier_phase = -2.0 * np.pi * GPS_L1CA_CARRIER_FREQ * tau \
+            + 2.0 * np.pi * self.f_if * (ts - self.t0)
+        return code_phase, carrier_phase
+
+    # ------------------------------------------------------------------
     def _phase_at(self, sat: ScenarioSat, t: float):
         """(code_phase_chips, carrier_phase_rad) at receiver time ``t``.
 
@@ -138,11 +164,11 @@ class Scenario:
         for sat in self.sats:
             code = cacode.ca_code(sat.eph.prn).astype(np.float64)
             amp = self._amp[id(sat)]
-            # Millisecond-boundary phases (n_ms + 1 points).
+            # Millisecond-boundary phases (n_ms + 1 points, vectorised).
             ts = self.t0 + (self._ms_generated + np.arange(n_ms + 1)) * 1e-3
-            bounds = [self._phase_at(sat, t) for t in ts]
+            cb, thb = self._phases_at_vec(sat, ts)
             for m in range(n_ms):
-                (c0, th0), (c1, th1) = bounds[m], bounds[m + 1]
+                (c0, th0), (c1, th1) = (cb[m], thb[m]), (cb[m + 1], thb[m + 1])
                 phi = c0 + (c1 - c0) * frac
                 theta = th0 + (th1 - th0) * frac
                 chip = np.floor(phi).astype(np.int64)

@@ -135,3 +135,39 @@ def test_gpstime():
     assert at.seconds == pytest.approx(302401.0)
     clk.apply_correction(-0.5, sample=20_000_000)
     assert clk.at_sample(20_000_000).seconds == pytest.approx(302400.5)
+
+
+def test_rinex_obs_roundtrip(tmp_path):
+    from sydr_tpu.io import rinex_obs
+
+    epochs = [
+        {"tow": 302406.0, "obs": {2: {"C1C": 21234567.123, "D1C": 1234.5},
+                                  7: {"C1C": 22345678.5, "D1C": -2345.25}}},
+        {"tow": 302407.0, "obs": {2: {"C1C": 21234600.0, "D1C": 1233.0}}},
+    ]
+    path = str(tmp_path / "obs.rnx")
+    rinex_obs.write_obs(path, epochs, week=2190)
+    back = rinex_obs.read_obs(path)
+    assert len(back) == 2
+    assert back[0]["tow"] == pytest.approx(302406.0)
+    assert back[0]["obs"][2]["C1C"] == pytest.approx(21234567.123, abs=1e-3)
+    assert back[0]["obs"][7]["D1C"] == pytest.approx(-2345.25, abs=1e-2)
+    assert back[1]["obs"][2]["C1C"] == pytest.approx(21234600.0, abs=1e-3)
+
+
+def test_rinex_obs_export_from_db(tmp_path):
+    from sydr_tpu.io import rinex_obs
+
+    db = ResultDatabase(str(tmp_path / "m.db"))
+    for tow in (1.0, 2.0):
+        db.add("measurement", {"tow": tow, "channel_id": 0, "prn": 5,
+                               "mtype": "pseudorange", "value": 2.1e7,
+                               "raw_value": 2.1e7, "residual": 0.0})
+        db.add("measurement", {"tow": tow, "channel_id": 0, "prn": 5,
+                               "mtype": "doppler", "value": 1500.0,
+                               "raw_value": 1500.0, "residual": 0.0})
+    path = str(tmp_path / "exp.rnx")
+    n = rinex_obs.export_from_database(db, path)
+    assert n == 2
+    assert rinex_obs.read_obs(path)[0]["obs"][5]["D1C"] == pytest.approx(1500.0)
+    db.close()

@@ -451,6 +451,18 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         nco_carrier = lu["nco_carrier"]
 
         new_carrier = carrier_freq + nco_carrier
+        if cfg.freq_rail_hz > 0:
+            new_carrier = jnp.clip(
+                new_carrier,
+                st.freq_anchor - cfg.freq_rail_hz,
+                st.freq_anchor + cfg.freq_rail_hz,
+            )
+        if cfg.max_block_freq_step > 0:
+            new_carrier = jnp.clip(
+                new_carrier,
+                frozen_carrier - cfg.max_block_freq_step,
+                frozen_carrier + cfg.max_block_freq_step,
+            )
         new_code_off = code_off - nco_code
 
         # Bit-edge histogram sync (same semantics as the scanned runtime).
@@ -571,7 +583,8 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
     rem_code_end = geo["rem_code_end"] + chip_virt_end
     new_state = ChannelState(
         mode=st.mode, flags=flags,
-        carrier_freq=carrier_freq, code_freq_offset=code_off,
+        carrier_freq=carrier_freq, freq_anchor=st.freq_anchor,
+        code_freq_offset=code_off,
         rem_carrier=rem_carrier_end, rem_code=rem_code_end,
         dll_memory=dll_mem, pll_memory=pll_mem,
         fll_memory=fll_mem, fll_vel=fll_vel, fll_acc=st.fll_acc,
@@ -597,3 +610,34 @@ def run_block_batched(cfg: TrackingConfig, bits3x, state: ChannelState,
     geo = _pass_a(cfg, state)
     corr = _pass_b(cfg, bits3x, state, geo, window_re, window_im)
     return _pass_c(cfg, state, geo, corr)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k_blocks"))
+def run_superblock(cfg: TrackingConfig, k_blocks: int, bits3x,
+                   state: ChannelState, samples_re, samples_im):
+    """Process ``k_blocks`` consecutive blocks in one device dispatch.
+
+    ``samples_re/im`` hold ``tail_ms + k_blocks * block_ms`` milliseconds
+    laid out contiguously; block k's window is the slice starting at
+    ``k * block_ms`` (its tail is the previous block's last ``tail_ms``).
+    One host round-trip then covers ``k_blocks * block_ms`` of signal — the
+    superblock amortisation of the fetch latency.
+
+    Returns (state, outputs) with outputs ``[k_blocks*block_ms, n_ch]``.
+    """
+    spms = cfg.samples_per_ms
+    sb = cfg.block_ms * spms
+    win_len = cfg.window_samples
+
+    def body(st, k):
+        start = k * sb
+        wre = jax.lax.dynamic_slice(samples_re, (start,), (win_len,))
+        wim = jax.lax.dynamic_slice(samples_im, (start,), (win_len,))
+        st, outputs = run_block_batched(cfg, bits3x, st, wre, wim)
+        return st, outputs
+
+    state, outs = jax.lax.scan(
+        body, state, jnp.arange(k_blocks, dtype=jnp.int32))
+    merged = jax.tree_util.tree_map(
+        lambda x: x.reshape((k_blocks * cfg.block_ms,) + x.shape[2:]), outs)
+    return state, merged

@@ -90,11 +90,23 @@ class TrackingConfig:
     fll_threshold_narrow: float = 0.8
     pll_threshold_narrow: float = 0.8
     lock_indicator_alpha: float = 0.005
+    # Carrier NCO rail: clamp the tracked frequency within +-rail of the
+    # acquisition anchor (acquisition error <= half a Doppler bin), killing
+    # the FLL_ATAN +-500 Hz false-lock aliases. 0 disables.
+    freq_rail_hz: float = 400.0
+    # Batch runtime: bound the total carrier correction applied within one
+    # block. The virtual-NCO compensation is linear while the atan
+    # discriminators saturate at +-250 Hz; clamping the per-block step keeps
+    # the compensation in the linear region during aggressive pull-in.
+    max_block_freq_step: float = 125.0
     # "scan": per-ms feedback cadence (reference-exact); "batch": two-pass
     # frozen-rate blocks (dense, time-parallel; see channels/batch_runtime).
     runtime: str = "scan"
     use_pallas: bool = False       # batch runtime: fused correlation kernel
     pallas_interpret: bool = False  # run the kernel in interpreter mode
+    # Batch runtime: blocks per device dispatch (host fetch amortisation);
+    # host-side decode/measurement cadence coarsens to the superblock.
+    superblock: int = 1
     epl_method: str = "bitpack"
 
     @property
@@ -182,6 +194,12 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         + required.astype(jnp.float32) * (delta / fs)
     )
     carrier_freq = st.carrier_freq + nco_carrier
+    if cfg.freq_rail_hz > 0:
+        carrier_freq = jnp.clip(
+            carrier_freq,
+            st.freq_anchor - cfg.freq_rail_hz,
+            st.freq_anchor + cfg.freq_rail_hz,
+        )
     code_freq_offset = st.code_freq_offset - nco_code
 
     # --- Bit-edge synchronisation (histogram method) -----------------------
@@ -250,6 +268,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         mode=st.mode,
         flags=flags,
         carrier_freq=upd(carrier_freq, st.carrier_freq),
+        freq_anchor=st.freq_anchor,
         code_freq_offset=upd(code_freq_offset, st.code_freq_offset),
         rem_carrier=upd(rem_carrier, st.rem_carrier),
         rem_code=upd(rem_code, st.rem_code),

@@ -61,6 +61,7 @@ class ChannelState:
     mode: jax.Array              # int32: MODE_*
     flags: jax.Array             # int32 bitmask of FLAG_*
     carrier_freq: jax.Array      # f32 [Hz], IF + Doppler
+    freq_anchor: jax.Array       # f32 [Hz] acquisition carrier (NCO rail)
     code_freq_offset: jax.Array  # f32 [Hz] offset from GPS_L1CA_CODE_FREQ
     rem_carrier: jax.Array       # f32 [rad]
     rem_code: jax.Array          # f32 [chips]
@@ -93,6 +94,7 @@ def init_state(n_channels: int) -> ChannelState:
         mode=_i32(n_channels, MODE_IDLE),
         flags=_i32(n_channels),
         carrier_freq=_f32(n_channels),
+        freq_anchor=_f32(n_channels),
         code_freq_offset=_f32(n_channels),
         rem_carrier=_f32(n_channels),
         rem_code=_f32(n_channels),

@@ -97,14 +97,24 @@ def loop_update(cfg, corr, st, active, comp=None):
                                  freq_err - comp["freq"], 0.0)
             phase_err = jnp.where(pull_in, 0.0, phase_err - comp["phase"])
 
+        # Delayed-feedback gain scheduling: the batched runtime applies
+        # corrections once per block, so loop_bandwidth * block_length must
+        # stay below ~0.12 for stability (and the linear virtual-NCO
+        # compensation assumes sub-saturation discriminator excursions).
+        if cfg.runtime == "batch":
+            cap = 0.12 / (cfg.block_ms * 1e-3)
+        else:
+            cap = float("inf")
         fll_bw = jnp.select(
             [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
-            [cfg.fll_bandwidth_narrow, cfg.fll_bandwidth_wide],
-            cfg.fll_bandwidth_pullin,
+            [min(cfg.fll_bandwidth_narrow, cap),
+             min(cfg.fll_bandwidth_wide, cap)],
+            min(cfg.fll_bandwidth_pullin, cap),
         )
         pll_bw = jnp.select(
             [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
-            [cfg.pll_bandwidth_narrow, cfg.pll_bandwidth_wide],
+            [min(cfg.pll_bandwidth_narrow, cap),
+             min(cfg.pll_bandwidth_wide, cap)],
             0.0,
         )
         nco_carrier, fll_vel = trk.fll_assisted_pll_2nd(

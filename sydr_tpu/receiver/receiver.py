@@ -64,6 +64,10 @@ class ReceiverConfig:
     # for ``reacq_blocks`` consecutive blocks are reset to ACQUIRING.
     reacq_cn0_threshold: float = 25.0
     reacq_blocks: int = 25
+    # Channels still without bit sync after this many tracked code periods
+    # are false-locked (e.g. cross-correlation capture during pull-in) and
+    # are reset to reacquire. 0 disables.
+    reacq_no_bitsync_epochs: int = 4000
     # Persistence (None = no database).
     database_path: str | None = None
     log_tracking_decimation: int = 20
@@ -190,8 +194,9 @@ class Receiver:
         else:
             re = np.ascontiguousarray(np.real(iq), dtype=np.float32)
             im = np.ascontiguousarray(np.imag(iq), dtype=np.float32)
-        spb = self.cfg.tracking.block_ms * self.cfg.tracking.samples_per_ms
-        assert len(re) % spb == 0, "feed whole blocks"
+        spb = (self.cfg.tracking.superblock * self.cfg.tracking.block_ms
+               * self.cfg.tracking.samples_per_ms)
+        assert len(re) % spb == 0, "feed whole (super)blocks"
         for k in range(len(re) // spb):
             sl = slice(k * spb, (k + 1) * spb)
             with self.timers.time("track_block"):
@@ -271,6 +276,8 @@ class Receiver:
 
         # Lock-loss detection -> reacquisition (the reference has no
         # infrastructural recovery; lost channels just idle).
+        from sydr_tpu.channels.state import FLAG_BIT_SYNC
+
         for i, ch in enumerate(self.channels):
             if self.session.mode_host[i] != MODE_TRACKING:
                 continue
@@ -280,10 +287,16 @@ class Receiver:
                 self._low_cn0_blocks[i] += 1
             else:
                 self._low_cn0_blocks[i] = 0
-            if self._low_cn0_blocks[i] >= cfg.reacq_blocks:
+            no_bitsync = (
+                cfg.reacq_no_bitsync_epochs > 0
+                and ch.n_codes > cfg.reacq_no_bitsync_epochs
+                and not (int(out["flags"][-1, i]) & FLAG_BIT_SYNC)
+            )
+            if self._low_cn0_blocks[i] >= cfg.reacq_blocks or no_bitsync:
+                reason = ("no bit sync (false lock?)" if no_bitsync
+                          else f"C/N0 {cn0:.1f} dB-Hz")
                 logger.warning(
-                    "PRN %d lost lock (C/N0 %.1f dB-Hz); reacquiring",
-                    ch.prn, cn0)
+                    "PRN %d lost lock (%s); reacquiring", ch.prn, reason)
                 self.session.reset_channel(i)
                 self.channels[i] = _ChannelBookkeeping(ch.prn)
                 self._low_cn0_blocks[i] = 0

@@ -157,6 +157,7 @@ class TrackingSession:
         )
         mode = np.array(self.mode_host)
         carrier = np.array(self.state.carrier_freq)
+        anchor = np.array(self.state.freq_anchor)
         code_off = np.array(self.state.code_freq_offset)
         unread = np.array(self.state.unread)
         for j, i in enumerate(pending):
@@ -171,6 +172,7 @@ class TrackingSession:
                 continue
             mode[i] = MODE_TRACKING
             carrier[i] = self.cfg.intermediate_frequency + doppler[j]
+            anchor[i] = carrier[i]
             if not self.cfg.carrier_aiding:
                 code_off[i] = doppler[j] * (
                     GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ
@@ -183,18 +185,19 @@ class TrackingSession:
             self.state,
             mode=jnp.asarray(mode),
             carrier_freq=jnp.asarray(carrier),
+            freq_anchor=jnp.asarray(anchor),
             code_freq_offset=jnp.asarray(code_off),
             unread=jnp.asarray(unread),
         )
 
     # ------------------------------------------------------------------
     def process_block(self, block_re: np.ndarray, block_im: np.ndarray):
-        """Process ``block_ms`` milliseconds of IQ; returns host outputs.
+        """Process ``superblock * block_ms`` milliseconds of IQ.
 
-        The block must be exactly ``block_ms * samples_per_ms`` samples.
+        Returns host outputs ``[superblock * block_ms, n_ch]``.
         """
         cfg = self.cfg
-        expect = cfg.block_ms * cfg.samples_per_ms
+        expect = cfg.superblock * cfg.block_ms * cfg.samples_per_ms
         assert len(block_re) == expect, (len(block_re), expect)
 
         window_re = np.concatenate([self._tail_re, block_re])
@@ -234,10 +237,15 @@ class TrackingSession:
         keys: dict[str, tuple] = {}
 
         def inner(state, wre, wim):
-            if cfg.runtime == "batch":
+            if cfg.runtime == "batch" and cfg.superblock > 1:
+                state, outputs = batch_runtime.run_superblock(
+                    cfg, cfg.superblock, bits3x, state, wre, wim)
+            elif cfg.runtime == "batch":
                 state, outputs = batch_runtime.run_block_batched(
                     cfg, bits3x, state, wre, wim)
             else:
+                assert cfg.superblock == 1, \
+                    "superblock requires the batch runtime"
                 state, outputs = runtime.run_block(
                     cfg, codes, state, wre, wim)
             keys["f"] = tuple(sorted(
@@ -249,10 +257,13 @@ class TrackingSession:
                 [outputs[k].astype(jnp.int32) for k in keys["i"]], axis=-1)
             return state, packed_f, packed_i
 
+        n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) \
+            * cfg.samples_per_ms if cfg.superblock > 1 \
+            else cfg.window_samples
         jax.eval_shape(
             inner, self.state,
-            jax.ShapeDtypeStruct((cfg.window_samples,), jnp.float32),
-            jax.ShapeDtypeStruct((cfg.window_samples,), jnp.float32),
+            jax.ShapeDtypeStruct((n_in,), jnp.float32),
+            jax.ShapeDtypeStruct((n_in,), jnp.float32),
         )
         jitted = jax.jit(inner)
         keys_f, keys_i = keys["f"], keys["i"]
@@ -295,6 +306,7 @@ class TrackingSession:
         samples_per_chip = self.cfg.sampling_frequency / GPS_L1CA_CODE_FREQ
         mode = np.array(self.mode_host)
         carrier = np.array(self.state.carrier_freq)
+        anchor = np.array(self.state.freq_anchor)
         code_off = np.array(self.state.code_freq_offset)
         unread = np.array(self.state.unread)
         samples_per_code = round(spms)
@@ -323,6 +335,7 @@ class TrackingSession:
                 continue
             mode[i] = MODE_TRACKING
             carrier[i] = self.cfg.intermediate_frequency + float(bins[int(fi)])
+            anchor[i] = carrier[i]
             if not self.cfg.carrier_aiding:
                 code_off[i] = float(bins[int(fi)]) * (
                     GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ
@@ -333,6 +346,7 @@ class TrackingSession:
             self.state,
             mode=jnp.asarray(mode),
             carrier_freq=jnp.asarray(carrier),
+            freq_anchor=jnp.asarray(anchor),
             code_freq_offset=jnp.asarray(code_off),
             unread=jnp.asarray(unread),
         )

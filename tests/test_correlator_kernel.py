@@ -41,8 +41,13 @@ def _setup(n_ch=3, block_ms=4):
     return cfg, bits3x, state, wre, wim
 
 
-def test_pallas_kernel_matches_xla_dense():
+import pytest
+
+
+@pytest.mark.parametrize("profile", ["borre", "kaplan"])
+def test_pallas_kernel_matches_xla_dense(profile):
     cfg_args, bits3x, state, wre, wim = _setup()
+    cfg_args["profile"] = profile
 
     cfg_xla = TrackingConfig(**cfg_args)
     st_x, out_x = batch_runtime.run_block_batched(

@@ -32,6 +32,7 @@ BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "500"))
 N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "20"))
 RUNTIME = os.environ.get("BENCH_RUNTIME", "batch")  # "batch" | "scan"
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "4"))
 
 
 def bench_tracking():
@@ -49,17 +50,26 @@ def bench_tracking():
         window_size=int(round(FS * 1e-3)) + 256,
         runtime=RUNTIME,
         use_pallas=USE_PALLAS,
+        superblock=SUPERBLOCK if RUNTIME == "batch" else 1,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)
-    n_win = cfg.window_samples
-    wre = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
-    wim = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
+    spms = cfg.samples_per_ms
     if RUNTIME == "batch":
         prns = [(k % 32) + 1 for k in range(N_CHANNELS)]
         bits3x = jnp.asarray(br.tiled_code_bits(prns))
-        step = lambda st: br.run_block_batched(cfg, bits3x, st, wre, wim)
+        n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) * spms
+        wre = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
+        wim = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
+        if cfg.superblock > 1:
+            step = lambda st: br.run_superblock(
+                cfg, cfg.superblock, bits3x, st, wre, wim)
+        else:
+            step = lambda st: br.run_block_batched(cfg, bits3x, st, wre, wim)
     else:
+        n_win = cfg.window_samples
+        wre = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
+        wim = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
         step = lambda st: run_block(cfg, codes, st, wre, wim)
 
     # Warm-up / compile. NOTE: on the axon backend block_until_ready
@@ -72,7 +82,8 @@ def bench_tracking():
         st, out = step(st)
     np.asarray(st.rem_code)  # drains the queued blocks (data dependency)
     wall = time.time() - t0
-    signal_s = N_BLOCKS * BLOCK_MS * 1e-3
+    signal_s = N_BLOCKS * BLOCK_MS * 1e-3 * (
+        SUPERBLOCK if RUNTIME == "batch" else 1)
     rtf = signal_s / wall
     samples_per_s = signal_s * FS * N_CHANNELS / wall
     return rtf, samples_per_s

@@ -19,7 +19,6 @@ import dataclasses
 import numpy as np
 
 from sydr_tpu.constants import (
-    LNAV_MS_PER_BIT,
     LNAV_PREAMBLE,
     LNAV_SUBFRAME_SIZE,
     LNAV_WORD_SIZE,

@@ -58,6 +58,7 @@ def _build_demo(args):
                 # loop_bandwidth * block_length < ~0.15).
                 profile="kaplan" if args.runtime == "batch" else "borre",
                 block_ms=5 if args.runtime == "batch" else 20,
+                superblock=args.superblock if args.runtime == "batch" else 1,
             ),
             approx_position=tuple(rx_truth + 1000.0),
             assisted_ephemerides={e.prn: e for e in sats},
@@ -86,6 +87,8 @@ def main(argv=None) -> int:
                         default="batch")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas correlation kernel")
+    parser.add_argument("--superblock", type=int, default=1,
+                        help="blocks per device dispatch (batch runtime)")
     parser.add_argument("--no-dashboard", action="store_true")
     parser.add_argument("--no-report", action="store_true")
     parser.add_argument("--checkpoint-every", type=int, default=0,
@@ -145,8 +148,10 @@ def main(argv=None) -> int:
 
     receiver = Receiver(run_cfg.receiver)
     dash = Dashboard(receiver, enabled=not args.no_dashboard)
-    block_ms = run_cfg.receiver.tracking.block_ms
-    chunk_ms = max(block_ms, 500 // block_ms * block_ms)
+    block_ms = (run_cfg.receiver.tracking.block_ms
+                * run_cfg.receiver.tracking.superblock)
+    chunk_ms = max(block_ms, 500 // block_ms * block_ms if block_ms <= 500
+                   else block_ms)
 
     t_start = time.time()
     processed = 0

@@ -33,7 +33,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
 
 CHUNK = 8192  # must stay <= samples_per_ms
 ROWS = CHUNK // 128

@@ -28,11 +28,14 @@ import numpy as np
 
 N_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "32"))
 FS = float(os.environ.get("BENCH_FS", "10e6"))
-BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "500"))
+# Product-realistic loop shape: 20 ms feedback blocks, scanned into 1 s
+# device dispatches (the anchor-output Pallas kernel requires
+# 2*block_ms <= 128).
+BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "20"))
 N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "20"))
 RUNTIME = os.environ.get("BENCH_RUNTIME", "batch")  # "batch" | "scan"
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
-SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "4"))
+SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
 
 
 def bench_tracking():

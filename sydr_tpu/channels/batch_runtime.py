@@ -150,8 +150,11 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
 
     init = (st.rem_code, st.rem_carrier, st.unread,
             jnp.zeros_like(st.unread))
+    # unroll: these are tiny [n_ch]-vector steps — the scan's per-iteration
+    # sequencing overhead dominates the arithmetic on TPU
     (rem_code_end, rem_carrier_end, unread_end, consumed_end), seq = \
-        jax.lax.scan(step, init, jnp.arange(cfg.block_ms, dtype=jnp.int32))
+        jax.lax.scan(step, init, jnp.arange(cfg.block_ms, dtype=jnp.int32),
+                     unroll=True)
     seq["rem_code_end"] = rem_code_end
     seq["rem_carrier_end"] = rem_carrier_end
     seq["unread_end"] = unread_end
@@ -357,6 +360,26 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
 
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
+        if cfg.pallas_anchor and 2 * cfg.block_ms <= ck.N_ANCH:
+            req_eff = jnp.where(geo["active"], geo["required"], 0)
+            b_start = geo["b_start"] + base[None, :]
+            b_end = jnp.clip(b_start + req_eff, 0, n_win)
+            b_start = jnp.clip(b_start, 0, n_win)
+            idxs = jnp.stack([b_start, b_end], axis=0)    # [2, bm, n_ch]
+            anch = jnp.transpose(idxs, (2, 0, 1)).reshape(n_ch, -1) - 1
+            pad_a = ck.N_ANCH - anch.shape[1]
+            anch = jnp.concatenate(
+                [anch, jnp.full((n_ch, pad_a), -1, jnp.int32)], axis=1
+            ).astype(jnp.int32)
+            vals = ck.block_anchor_streams(
+                wre_p, wim_p, words_p, fb_q, phic_q, scalars, anch,
+                spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
+                step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
+            )
+            picked = vals[:, :, :2 * cfg.block_ms].reshape(
+                n_ch, n_streams, 2, cfg.block_ms)
+            corr = picked[:, :, 1, :] - picked[:, :, 0, :]
+            return jnp.transpose(corr, (2, 0, 1))
         prefix = ck.block_cumsum_streams(
             wre_p, wim_p, words_p, fb_q, phic_q, scalars,
             spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
@@ -568,7 +591,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         st.pll_lock, st.fll_lock,
         jnp.zeros_like(st.carrier_freq), jnp.zeros_like(st.carrier_freq),
     )
-    carry, outputs = jax.lax.scan(step, init, inputs)
+    carry, outputs = jax.lax.scan(step, init, inputs, unroll=True)
     (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel, lock_state,
      ip_prev, qp_prev, flags,
      code_counter, ms_counter, edge_hist, bit_edge, accum_count, ip_sum,

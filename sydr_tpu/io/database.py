@@ -79,6 +79,15 @@ def _sql_type(value) -> str:
     return "TEXT"
 
 
+def open_database(path: str) -> "ResultDatabase":
+    """Open an existing results database for analysis WITHOUT truncating it.
+
+    The ``ResultDatabase`` constructor defaults to ``overwrite=True`` (a
+    receiver run starts fresh); use this for post-run inspection.
+    """
+    return ResultDatabase(path, overwrite=False)
+
+
 class ResultDatabase:
     """Buffered, dynamically-typed SQLite store for receiver results."""
 

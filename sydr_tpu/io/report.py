@@ -56,6 +56,34 @@ def generate_report(
         ax.set_title("Acquisition metric per satellite")
         ax.legend()
         sections.append("<h2>Acquisition</h2>" + _fig_to_html(fig))
+
+        # Doppler x code-phase correlation surfaces (the reference's
+        # utils/surface3d.py view), rendered as heatmaps when stored.
+        from sydr_tpu.io.database import blob_to_array
+
+        maps = [r for r in acq if r.get("corr_map") is not None]
+        if maps:
+            cols = min(3, len(maps))
+            rows = (len(maps) + cols - 1) // cols
+            fig, axes = plt.subplots(
+                rows, cols, figsize=(4.2 * cols, 2.8 * rows), squeeze=False)
+            for k, r in enumerate(maps):
+                m = blob_to_array(r["corr_map"])
+                dops = blob_to_array(r["corr_dopplers"])
+                ax = axes[k // cols][k % cols]
+                ax.imshow(
+                    m, aspect="auto", origin="lower", cmap="viridis",
+                    extent=(0, m.shape[1], float(dops[0]) / 1e3,
+                            float(dops[-1]) / 1e3),
+                )
+                ax.set_title(f"G{r['prn']:02d} metric={r['metric']:.1f}",
+                             fontsize=9)
+                ax.set_xlabel("code phase [chips]", fontsize=8)
+                ax.set_ylabel("Doppler [kHz]", fontsize=8)
+            for k in range(len(maps), rows * cols):
+                axes[k // cols][k % cols].axis("off")
+            fig.tight_layout()
+            sections.append(_fig_to_html(fig))
         rows = "".join(
             f"<tr><td>G{r['prn']:02d}</td><td>{r['doppler']:+.0f}</td>"
             f"<td>{r['code_index']}</td><td>{r['metric']:.2f}</td></tr>"

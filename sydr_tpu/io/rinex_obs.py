@@ -82,8 +82,7 @@ def export_from_database(db, path: str) -> int:
     Returns the number of epochs written.
     """
     rows = db.fetch("measurement")
-    pos_rows = db.fetch("position")
-    week = 0
+    week = 0  # position rows do not carry the week; callers may override
     by_tow: dict[float, dict] = {}
     for r in rows:
         ep = by_tow.setdefault(r["tow"], {})
@@ -95,7 +94,5 @@ def export_from_database(db, path: str) -> int:
     epochs = [
         {"tow": tow, "obs": obs} for tow, obs in sorted(by_tow.items())
     ]
-    if pos_rows:
-        week = 0  # week is not stored in position rows; callers may override
     write_obs(path, epochs, week)
     return len(epochs)

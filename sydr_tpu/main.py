@@ -93,8 +93,15 @@ def main(argv=None) -> int:
     parser.add_argument("--no-report", action="store_true")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="save resumable state every N ms (0 = off)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (development machines)")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

@@ -43,6 +43,105 @@ C0I_ROWS = 4
 WRUN = 36  # per-chunk word slice: up to 32 groups + margins
 
 
+def _sub_streams(spacings, spms, n_q, local, step0,
+                 sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
+                 wfull, c, k):
+    """The six-to-ten correlation streams for one CHUNK sub-chunk.
+
+    Shared by the full-prefix and anchor-only kernels: carrier mix + chip
+    reconstruction for every spacing, returned as a list of [ROWS, 128]
+    float32 arrays ordered (spacing-major, I then Q).
+    """
+    omega = sc_ref[c, 0]
+    code_step = sc_ref[c, 1]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    lane = col_i
+
+    sub = k % SUPER
+    m0 = k * CHUNK
+    q0 = m0 // spms
+    q1 = jnp.minimum(q0 + 1, n_q - 1)
+    ms_next = (q0 + 1) * spms
+
+    fb0 = fbq_ref[c, q0]
+    fb1 = fbq_ref[c, q1]
+    ph0 = phq_ref[c, q0]
+    ph1 = phq_ref[c, q1]
+
+    m = m0 + row_i * 128 + col_i
+    in_q1 = m >= ms_next
+    lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
+    lm_f = lm.astype(jnp.float32)
+
+    # NOTE: the TPU VPU has a hardware transcendental unit — a factored
+    # rank-1 carrier (sincos on ROWS+128 values + angle-addition
+    # reconstruction) measured ~15% SLOWER than the direct form below.
+    phase = jnp.where(in_q1, ph1, ph0) - omega * lm_f
+    cosv = jnp.cos(phase)
+    sinv = jnp.sin(phase)
+    wre = win_re_ref[0, sub].reshape(ROWS, 128)
+    wim = win_im_ref[0, sub].reshape(ROWS, 128)
+    mre = cosv * wre - sinv * wim
+    mim = cosv * wim + sinv * wre
+
+    grp = lm >> 7
+    cs0v = jnp.floor(grp.astype(jnp.float32) * (GSIZE * step0)).astype(
+        jnp.int32
+    )
+
+    def words_for_run(fb_s, q_start_m, m0=m0):
+        """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
+
+        Mosaic forbids unaligned lane slices, so the per-row packed word is
+        picked from the full 128-group row with a lane one-hot reduction
+        using *absolute* group indices (negative for rows that start before
+        the run's millisecond — their one-hot is empty and the lanes are
+        masked by in_q1 anyway).
+        """
+        c0i = jnp.floor(fb_s).astype(jnp.int32)
+        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
+        wrow = jnp.zeros((128,), jnp.float32)
+        for v in range(C0I_ROWS):
+            wrow = wrow + jnp.where(rowsel == v, wfull[v], 0.0)
+        l0 = m0 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) * 128 \
+            - q_start_m
+        grp_abs = l0 >> 7                                      # [ROWS, 1]
+        # one-hot x word-row dot products on the MXU instead of lane
+        # log-reductions on the VPU
+        wrow_col = wrow.reshape(128, 1)
+        oh_lo = (lane == grp_abs).astype(jnp.float32)
+        oh_hi = (lane == grp_abs + 1).astype(jnp.float32)
+        w_lo = jnp.dot(oh_lo, wrow_col,
+                       preferred_element_type=jnp.float32)
+        w_hi = jnp.dot(oh_hi, wrow_col,
+                       preferred_element_type=jnp.float32)
+        lam = 128 - (l0 & 127)
+        return c0i, w_lo, w_hi, lam
+
+    streams = []
+    for sp in spacings:
+        c0i_a, wlo_a, whi_a, lam_a = words_for_run(fb0 + sp, q0 * spms)
+        c0i_b, wlo_b, whi_b, lam_b = words_for_run(fb1 + sp, ms_next)
+
+        w_a = jnp.where(col_i >= lam_a, whi_a, wlo_a)
+        w_b = jnp.where(col_i >= lam_b, whi_b, wlo_b)
+        w = jnp.where(in_q1, w_b, w_a)
+
+        r_el = jnp.where(in_q1, fb1 + sp, fb0 + sp)
+        c0i_el = jnp.where(in_q1, c0i_b, c0i_a)
+        idxf = jnp.ceil(r_el + lm_f * code_step).astype(jnp.int32)
+        l = jnp.clip(idxf - c0i_el + 2 - cs0v, 0, local - 1)
+        p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
+        t = w * p2
+        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
+        chip = 2.0 * bit - 1.0
+        streams.append(chip * mre)
+        streams.append(chip * mim)
+    return streams
+
+
 def _kernel(spacings, spms, n_q, local, step0, n_win,
             sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
             out_ref, carry_ref):
@@ -55,11 +154,6 @@ def _kernel(spacings, spms, n_q, local, step0, n_win,
         for i in range(16):
             carry_ref[0, i] = 0.0
 
-    omega = sc_ref[c, 0]
-    code_step = sc_ref[c, 1]
-
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
     # strict-lower-triangular matrix for row-prefix accumulation
     tri = (
         jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
@@ -71,97 +165,27 @@ def _kernel(spacings, spms, n_q, local, step0, n_win,
         jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     ).astype(jnp.float32)
-    lane = col_i
     wfull = words_ref[pl.ds(c, 1)][0]                         # [C0I_ROWS, 128]
 
     for sub in range(SUPER):
       k = ks * SUPER + sub
-      m0 = k * CHUNK
-      q0 = m0 // spms
-      q1 = jnp.minimum(q0 + 1, n_q - 1)
-      ms_next = (q0 + 1) * spms
-
-      fb0 = fbq_ref[c, q0]
-      fb1 = fbq_ref[c, q1]
-      ph0 = phq_ref[c, q0]
-      ph1 = phq_ref[c, q1]
-
-      m = m0 + row_i * 128 + col_i
-      in_q1 = m >= ms_next
-      lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
-      lm_f = lm.astype(jnp.float32)
-
-      phase = jnp.where(in_q1, ph1, ph0) - omega * lm_f
-      cosv = jnp.cos(phase)
-      sinv = jnp.sin(phase)
-      wre = win_re_ref[0, sub].reshape(ROWS, 128)
-      wim = win_im_ref[0, sub].reshape(ROWS, 128)
-      mre = cosv * wre - sinv * wim
-      mim = cosv * wim + sinv * wre
-
-      grp = lm >> 7
-      cs0v = jnp.floor(grp.astype(jnp.float32) * (GSIZE * step0)).astype(
-          jnp.int32
+      streams = _sub_streams(
+          spacings, spms, n_q, local, step0,
+          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
       )
-
-      def words_for_run(fb_s, q_start_m, m0=m0):
-          """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
-
-          Mosaic forbids unaligned lane slices, so the per-row packed word is
-          picked from the full 128-group row with a lane one-hot reduction
-          using *absolute* group indices (negative for rows that start before
-          the run's millisecond — their one-hot is empty and the lanes are
-          masked by in_q1 anyway).
-          """
-          c0i = jnp.floor(fb_s).astype(jnp.int32)
-          rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
-          wrow = jnp.zeros((128,), jnp.float32)
-          for v in range(C0I_ROWS):
-              wrow = wrow + jnp.where(rowsel == v, wfull[v], 0.0)
-          l0 = m0 + jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0) * 128 \
-              - q_start_m
-          grp_abs = l0 >> 7                                      # [ROWS, 1]
-          w_lo = jnp.sum(
-              jnp.where(lane == grp_abs, wrow[None, :], 0.0),
-              axis=1, keepdims=True)
-          w_hi = jnp.sum(
-              jnp.where(lane == grp_abs + 1, wrow[None, :], 0.0),
-              axis=1, keepdims=True)
-          lam = 128 - (l0 & 127)
-          return c0i, w_lo, w_hi, lam
-
-      out_idx = 0
-      for sp in spacings:
-          c0i_a, wlo_a, whi_a, lam_a = words_for_run(fb0 + sp, q0 * spms)
-          c0i_b, wlo_b, whi_b, lam_b = words_for_run(fb1 + sp, ms_next)
-
-          w_a = jnp.where(col_i >= lam_a, whi_a, wlo_a)
-          w_b = jnp.where(col_i >= lam_b, whi_b, wlo_b)
-          w = jnp.where(in_q1, w_b, w_a)
-
-          r_el = jnp.where(in_q1, fb1 + sp, fb0 + sp)
-          c0i_el = jnp.where(in_q1, c0i_b, c0i_a)
-          idxf = jnp.ceil(r_el + lm_f * code_step).astype(jnp.int32)
-          l = jnp.clip(idxf - c0i_el + 2 - cs0v, 0, local - 1)
-          p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
-          t = w * p2
-          bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
-          chip = 2.0 * bit - 1.0
-
-          for s in (chip * mre, chip * mim):
-              cs_row = jnp.dot(s, tri_incl,
-                               preferred_element_type=jnp.float32)
-              row_tot = cs_row[:, 127:128]
-              # strict-lower triangular matmul: prefix of previous row totals
-              row_pref = jnp.dot(tri, row_tot,
-                                 preferred_element_type=jnp.float32)
-              prefix = cs_row + row_pref
-              carry = carry_ref[0, out_idx]
-              out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
-                  prefix + carry
-              ).reshape(CHUNK)
-              carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
-              out_idx += 1
+      for out_idx, s in enumerate(streams):
+          cs_row = jnp.dot(s, tri_incl,
+                           preferred_element_type=jnp.float32)
+          row_tot = cs_row[:, 127:128]
+          # strict-lower triangular matmul: prefix of previous row totals
+          row_pref = jnp.dot(tri, row_tot,
+                             preferred_element_type=jnp.float32)
+          prefix = cs_row + row_pref
+          carry = carry_ref[0, out_idx]
+          out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
+              prefix + carry
+          ).reshape(CHUNK)
+          carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
 
 
 @functools.partial(
@@ -223,3 +247,142 @@ def block_cumsum_streams(
         scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)
+
+
+# ---------------------------------------------------------------------------
+# Anchor-only variant: inclusive prefixes at the epoch boundaries only
+# ---------------------------------------------------------------------------
+
+N_ANCH = 128  # padded anchor count (>= 2 * block_ms + 2)
+
+
+def _anchor_kernel(spacings, spms, n_q, local, step0, n_win,
+                   sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
+                   words_ref, anch_ref, out_ref):
+    """Grid (n_ch, n_super); out block = (1, n_streams, N_ANCH), accumulated.
+
+    The full-prefix kernel writes (and a follow-up XLA gather re-reads)
+    [n_ch, n_streams, n_win] of HBM per block, yet the loop only ever uses
+    the prefix at the ~2*block_ms epoch boundaries. Here each grid step adds
+    its chunk's contribution to ``P[a] = sum_{m <= anchors[a]} s[m]``
+    directly:
+
+      * rows entirely at-or-before the anchor contribute their full row sum
+        (``rowfull`` mask matmul);
+      * the row containing the anchor contributes a column-masked partial
+        (one [128, ROWS] x [ROWS, N_ANCH] select matmul + lane-mask reduce);
+      * later chunks contribute nothing.
+
+    Accumulating over grid revisits removes both the carry chain and all
+    large HBM traffic: output is [n_ch, n_streams, 128] per block. Negative
+    anchors (the P[-1] = 0 convention and padding) contribute zero naturally.
+    """
+    c = pl.program_id(0)
+    ks = pl.program_id(1)
+    n_streams = 2 * len(spacings)
+
+    @pl.when(ks == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
+
+    wfull = words_ref[pl.ds(c, 1)][0]
+    anch = anch_ref[pl.ds(c, 1)][0]                            # [N_ANCH] i32
+
+    ones_col = jnp.ones((128, 1), jnp.float32)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, N_ANCH), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (128, N_ANCH), 0)
+
+    for sub in range(SUPER):
+        k = ks * SUPER + sub
+        m0 = k * CHUNK
+        pr = anch[None, :] - m0                                 # [1, N_ANCH]
+        in_chunk = (pr >= 0) & (pr < CHUNK)
+        a_row = pr >> 7
+        a_col = pr & 127
+        # full rows strictly before the anchor row (all rows for anchors in
+        # later chunks, none for anchors before this chunk)
+        row_lim = jnp.where(pr >= CHUNK, ROWS, jnp.where(pr < 0, 0, a_row))
+        rowfull = (row_iota < row_lim).astype(jnp.float32)      # [ROWS, NA]
+        rowsel = (in_chunk & (row_iota == a_row)).astype(jnp.float32)
+        colmask = (col_iota <= a_col).astype(jnp.float32)       # [128, NA]
+
+        streams = _sub_streams(
+            spacings, spms, n_q, local, step0,
+            sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
+        )
+        for out_idx, s in enumerate(streams):
+            # [128, ROWS] x [ROWS, NA]: per-anchor selected row, lanes as
+            # sublanes
+            sel = jax.lax.dot_general(
+                s, rowsel, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [128, NA]
+            row_tot = jnp.dot(s, ones_col,
+                              preferred_element_type=jnp.float32)  # [ROWS,1]
+            full = jax.lax.dot_general(
+                row_tot, rowfull, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [1, NA]
+            part = jax.lax.dot_general(
+                ones_col, sel * colmask, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [1, NA]
+            out_ref[0, out_idx, :] = out_ref[0, out_idx, :] + (
+                full + part).reshape(N_ANCH)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
+                     "interpret"),
+)
+def block_anchor_streams(
+    window_re, window_im, words, fb_q, phic_q, scalars, anchors,
+    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
+):
+    """Inclusive stream prefixes at ``anchors`` only.
+
+    Args:
+        anchors: ``[n_ch, N_ANCH]`` int32 sample indices; entries < 0 yield 0
+            (the ``P[-1] = 0`` convention; use -1 for padding).
+
+    Returns ``[n_ch, n_streams, N_ANCH]`` float32 with
+    ``out[c, s, a] = sum_{m <= anchors[c, a]} stream_s[c, m]``.
+    """
+    n_ch = words.shape[0]
+    g_dim = words.shape[2]
+    n_streams = 2 * len(spacings)
+    n_win_pad = window_re.shape[0]
+    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
+    assert anchors.shape == (n_ch, N_ANCH)
+    n_super = n_win_pad // (SUPER * CHUNK)
+    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
+    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
+
+    kern = functools.partial(
+        _anchor_kernel, spacings, spms, n_q, local, step0, n_win
+    )
+    in_specs = [
+        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ch, N_ANCH), lambda c, k: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n_ch, n_super),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, n_streams, N_ANCH),
+                               lambda c, k: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, N_ANCH),
+                                       jnp.float32),
+        interpret=interpret,
+    )(scalars, fb_q, phic_q, win2, win2i, words, anchors)

@@ -77,10 +77,21 @@ def save_checkpoint(receiver, path: str) -> str:
                 "sync_offset": dec._sync_offset,
             },
         })
+    # Array-valued acquisition diagnostics (correlation maps) go into the
+    # npz; the manifest keeps the scalars.
+    acq_scalar = {}
+    for k, v in sess.acq_results.items():
+        entry = {}
+        for name, val in v.items():
+            if isinstance(val, np.ndarray):
+                arrays[f"acq_{k}_{name}"] = val
+            else:
+                entry[name] = val
+        acq_scalar[str(k)] = entry
     manifest = {
         "version": _FORMAT_VERSION,
         "total_samples": sess.total_samples,
-        "acq_results": {str(k): v for k, v in sess.acq_results.items()},
+        "acq_results": acq_scalar,
         "clock_tow": receiver.clock_tow,
         "clock_sample": receiver.clock_sample,
         "next_meas_sample": receiver._next_meas_sample,
@@ -115,7 +126,11 @@ def load_checkpoint(receiver, path: str) -> None:
     sess.mode_host = np.array(data["mode_host"])
     sess.total_samples = int(manifest["total_samples"])
     sess.acq_results = {
-        int(k): v for k, v in manifest["acq_results"].items()}
+        int(k): dict(v) for k, v in manifest["acq_results"].items()}
+    for key in data.files:
+        if key.startswith("acq_"):
+            _, idx, name = key.split("_", 2)
+            sess.acq_results.setdefault(int(idx), {})[name] = data[key]
     receiver._low_cn0_blocks = np.array(data["low_cn0"])
     receiver.clock_tow = manifest["clock_tow"]
     receiver.clock_sample = int(manifest["clock_sample"])

@@ -245,6 +245,8 @@ class Receiver:
                         "doppler": res["doppler"],
                         "code_index": res["code_index"],
                         "metric": res["metric"],
+                        "corr_map": res.get("corr_map"),
+                        "corr_dopplers": res.get("corr_dopplers"),
                         "sample": self.session.total_samples,
                     })
 
@@ -283,7 +285,10 @@ class Receiver:
                 continue
             tracking_long = ch.n_codes > 1000
             cn0 = float(out["cn0"][-1, i])
-            if tracking_long and 0.0 < cn0 < cfg.reacq_cn0_threshold:
+            # cn0 == 0 means "not yet estimated"; anything else below the
+            # threshold (including the degenerate negative estimates pure
+            # noise produces) counts as a low-C/N0 block.
+            if tracking_long and cn0 != 0.0 and cn0 < cfg.reacq_cn0_threshold:
                 self._low_cn0_blocks[i] += 1
             else:
                 self._low_cn0_blocks[i] = 0
@@ -302,24 +307,27 @@ class Receiver:
                 self._low_cn0_blocks[i] = 0
 
     # ------------------------------------------------------------------
-    def _transmit_time_at(self, i: int, sample: int) -> float | None:
+    def _transmit_time_at(self, i: int, sample: int,
+                          snapshot=None) -> float | None:
         """Satellite transmit time observed at absolute ``sample``."""
         ch = self.channels[i]
         if not ch.has_tow:
             return None
-        st = self.session.state
-        unread = int(st.unread[i])
-        rem_code = float(st.rem_code[i])
-        carrier = float(st.carrier_freq[i])
+        if snapshot is None:
+            snapshot = self._state_snapshot()
+        unread = int(snapshot["unread"][i])
+        rem_code = float(snapshot["rem_code"][i])
+        carrier = float(snapshot["carrier_freq"][i])
         f_if = self.cfg.tracking.intermediate_frequency
         # Effective code rate (aided; matches the runtime's rate model).
         if self.cfg.tracking.carrier_aiding:
             from sydr_tpu.constants import GPS_L1CA_CARRIER_FREQ
-            delta = float(st.code_freq_offset[i]) + (carrier - f_if) * (
+            delta = float(snapshot["code_freq_offset"][i]) + (
+                carrier - f_if) * (
                 GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ
             )
         else:
-            delta = float(st.code_freq_offset[i])
+            delta = float(snapshot["code_freq_offset"][i])
         step = (GPS_L1CA_CODE_FREQ + delta) / self.fs
         # Fractional sample position of the latest code boundary.
         p = (self.session.total_samples - unread) - rem_code / step
@@ -356,6 +364,21 @@ class Receiver:
                 el, az, lat, lon, t_rx, cfg.iono_alpha, cfg.iono_beta)
         return float(delay)
 
+    def _state_snapshot(self) -> dict:
+        """One bulk fetch of the per-channel scalars used by measurements."""
+        st = self.session.state
+        import jax.numpy as jnp
+
+        packed = np.asarray(jnp.stack(
+            [st.unread.astype(jnp.float32), st.rem_code,
+             st.carrier_freq, st.code_freq_offset], axis=0))
+        return {
+            "unread": packed[0].astype(np.int64),
+            "rem_code": packed[1],
+            "carrier_freq": packed[2],
+            "code_freq_offset": packed[3],
+        }
+
     # ------------------------------------------------------------------
     def _maybe_measure(self, out) -> None:
         sample = self.session.total_samples
@@ -375,9 +398,10 @@ class Receiver:
         if len(ready) < 4:
             return
 
+        snapshot = self._state_snapshot()
         tx_times = {}
         for i, ch, eph in ready:
-            tx = self._transmit_time_at(i, sample)
+            tx = self._transmit_time_at(i, sample, snapshot)
             if tx is not None:
                 tx_times[i] = tx
         if len(tx_times) < 4:
@@ -405,7 +429,7 @@ class Receiver:
             ephs.append(eph)
             prns.append(ch.prn)
             dops.append(
-                float(self.session.state.carrier_freq[i])
+                float(snapshot["carrier_freq"][i])
                 - self.cfg.tracking.intermediate_frequency
             )
             ch_idx.append(i)

@@ -137,7 +137,7 @@ class TrackingSession:
                                 self.acq_cfg.doppler_step)
         iq_re = np.broadcast_to(self._hist_re, (len(pending), need)).copy()
         iq_im = np.broadcast_to(self._hist_im, (len(pending), need)).copy()
-        doppler, code_idx, metric, _ = acq.acquire(
+        doppler, code_idx, metric, cmap = acq.acquire(
             (iq_re, iq_im),
             (k_re, k_im),
             bins,
@@ -149,6 +149,13 @@ class TrackingSession:
         doppler = np.asarray(doppler)
         code_idx = np.asarray(code_idx)
         metric = np.asarray(metric)
+        # Chip-resolution correlation map for diagnostics/report (the
+        # reference renders this surface with utils/surface3d.py).
+        cmap = np.asarray(cmap)
+        spc = max(1, round(self.cfg.sampling_frequency / GPS_L1CA_CODE_FREQ))
+        n_chip = cmap.shape[-1] // spc
+        cmap_dec = cmap[:, :, :n_chip * spc].reshape(
+            cmap.shape[0], cmap.shape[1], n_chip, spc).max(axis=-1)
 
         samples_per_code = round(
             self.cfg.sampling_frequency
@@ -166,6 +173,8 @@ class TrackingSession:
                 "doppler": float(doppler[j]),
                 "code_index": int(code_idx[j]),
                 "metric": float(metric[j]),
+                "corr_map": cmap_dec[j].astype(np.float32),
+                "corr_dopplers": np.asarray(bins, np.float32),
             }
             if metric[j] < self.acq_cfg.threshold:
                 mode[i] = MODE_IDLE  # not found; receiver may retry later
@@ -204,8 +213,22 @@ class TrackingSession:
         window_im = np.concatenate([self._tail_im, block_im])
         if self._packed_run is None:
             self._packed_run = self._make_packed_run()
+        if cfg.upload_int8:
+            peak = max(
+                float(np.max(np.abs(window_re))),
+                float(np.max(np.abs(window_im))), 1e-12,
+            )
+            scale = 120.0 / peak
+            up_re = np.clip(np.rint(window_re * scale), -127, 127
+                            ).astype(np.int8)
+            up_im = np.clip(np.rint(window_im * scale), -127, 127
+                            ).astype(np.int8)
+            inv_scale = np.float32(1.0 / scale)
+        else:
+            up_re, up_im = window_re, window_im
+            inv_scale = np.float32(1.0)
         self.state, packed_f, packed_i, keys_f, keys_i = self._packed_run(
-            self.state, jnp.asarray(window_re), jnp.asarray(window_im))
+            self.state, jnp.asarray(up_re), jnp.asarray(up_im), inv_scale)
         self.total_samples += expect
         tail = cfg.tail_ms * cfg.samples_per_ms
         self._tail_re = window_re[-tail:]
@@ -236,7 +259,9 @@ class TrackingSession:
         bits3x = self.bits3x
         keys: dict[str, tuple] = {}
 
-        def inner(state, wre, wim):
+        def inner(state, wre, wim, inv_scale):
+            wre = wre.astype(jnp.float32) * inv_scale
+            wim = wim.astype(jnp.float32) * inv_scale
             if cfg.runtime == "batch" and cfg.superblock > 1:
                 state, outputs = batch_runtime.run_superblock(
                     cfg, cfg.superblock, bits3x, state, wre, wim)
@@ -260,16 +285,18 @@ class TrackingSession:
         n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) \
             * cfg.samples_per_ms if cfg.superblock > 1 \
             else cfg.window_samples
+        in_dtype = jnp.int8 if cfg.upload_int8 else jnp.float32
         jax.eval_shape(
             inner, self.state,
-            jax.ShapeDtypeStruct((n_in,), jnp.float32),
-            jax.ShapeDtypeStruct((n_in,), jnp.float32),
+            jax.ShapeDtypeStruct((n_in,), in_dtype),
+            jax.ShapeDtypeStruct((n_in,), in_dtype),
+            jax.ShapeDtypeStruct((), jnp.float32),
         )
         jitted = jax.jit(inner)
         keys_f, keys_i = keys["f"], keys["i"]
 
-        def run(state, wre, wim):
-            state2, pf, pi = jitted(state, wre, wim)
+        def run(state, wre, wim, inv_scale):
+            state2, pf, pi = jitted(state, wre, wim, inv_scale)
             return state2, pf, pi, keys_f, keys_i
 
         return run

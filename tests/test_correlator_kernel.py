@@ -45,7 +45,8 @@ import pytest
 
 
 @pytest.mark.parametrize("profile", ["borre", "kaplan"])
-def test_pallas_kernel_matches_xla_dense(profile):
+@pytest.mark.parametrize("anchor", [False, True])
+def test_pallas_kernel_matches_xla_dense(profile, anchor):
     cfg_args, bits3x, state, wre, wim = _setup()
     cfg_args["profile"] = profile
 
@@ -54,6 +55,7 @@ def test_pallas_kernel_matches_xla_dense(profile):
         cfg_xla, bits3x, state, wre, wim)
 
     cfg_pl = TrackingConfig(**cfg_args, use_pallas=True,
+                            pallas_anchor=anchor,
                             pallas_interpret=True)
     st_p, out_p = batch_runtime.run_block_batched(
         cfg_pl, bits3x, state, wre, wim)

@@ -360,48 +360,34 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
 
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
-        if cfg.pallas_anchor and 2 * cfg.block_ms <= ck.N_ANCH:
-            req_eff = jnp.where(geo["active"], geo["required"], 0)
-            b_start = geo["b_start"] + base[None, :]
-            b_end = jnp.clip(b_start + req_eff, 0, n_win)
-            b_start = jnp.clip(b_start, 0, n_win)
-            idxs = jnp.stack([b_start, b_end], axis=0)    # [2, bm, n_ch]
-            anch = jnp.transpose(idxs, (2, 0, 1)).reshape(n_ch, -1) - 1
-            pad_a = ck.N_ANCH - anch.shape[1]
-            anch = jnp.concatenate(
-                [anch, jnp.full((n_ch, pad_a), -1, jnp.int32)], axis=1
-            ).astype(jnp.int32)
-            vals = ck.block_anchor_streams(
-                wre_p, wim_p, words_p, fb_q, phic_q, scalars, anch,
-                spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-                step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
-            )
-            picked = vals[:, :, :2 * cfg.block_ms].reshape(
-                n_ch, n_streams, 2, cfg.block_ms)
-            corr = picked[:, :, 1, :] - picked[:, :, 0, :]
-            return jnp.transpose(corr, (2, 0, 1))
         prefix = ck.block_cumsum_streams(
             wre_p, wim_p, words_p, fb_q, phic_q, scalars,
             spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
             step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
         )
+        # Epochs are contiguous (b_end(e) == b_start(e+1); inactive epochs
+        # consume nothing), so block_ms + 1 boundary picks suffice and each
+        # correlator is the difference of consecutive picks. XLA lowers
+        # take_along_axis to a serial per-index loop (~0.17 ms per index
+        # per second of signal at 32 channels), so fewer picks matter; the
+        # in-kernel pick variants tried instead of this gather all measured
+        # slower (docs/performance.md).
         req_eff = jnp.where(geo["active"], geo["required"], 0)
-        b_start = geo["b_start"] + base[None, :]
-        b_end = jnp.clip(b_start + req_eff, 0, n_win)
-        b_start = jnp.clip(b_start, 0, n_win)
+        b_start = jnp.clip(geo["b_start"] + base[None, :], 0, n_win)
+        last_end = jnp.clip(
+            b_start[-1:] + req_eff[-1:], 0, n_win)        # [1, n_ch]
+        bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
         # inclusive prefix: sum[b0, b1) = P[b1-1] - P[b0-1], P[-1] = 0
-        idxs = jnp.stack([b_start, b_end], axis=0)
-        valid_i = (idxs > 0)
-        idxs_c = jnp.clip(idxs - 1, 0, prefix.shape[-1] - 1)
-        flat = jnp.transpose(idxs_c, (2, 0, 1)).reshape(n_ch, 1, -1)
-        vflat = jnp.transpose(valid_i, (2, 0, 1)).reshape(n_ch, 1, -1)
+        valid = (bounds > 0)
+        idxs_c = jnp.clip(bounds - 1, 0, prefix.shape[-1] - 1)
+        flat = jnp.transpose(idxs_c, (1, 0)).reshape(n_ch, 1, -1)
+        vflat = jnp.transpose(valid, (1, 0)).reshape(n_ch, 1, -1)
         picked = jnp.take_along_axis(
             prefix,
             jnp.broadcast_to(flat, (n_ch, n_streams, flat.shape[-1])),
             axis=-1,
         ) * vflat
-        picked = picked.reshape(n_ch, n_streams, 2, cfg.block_ms)
-        corr = picked[:, :, 1, :] - picked[:, :, 0, :]
+        corr = picked[:, :, 1:] - picked[:, :, :-1]
         return jnp.transpose(corr, (2, 0, 1))
 
     # --- Dense mix (via the shared slice helper) ---------------------------

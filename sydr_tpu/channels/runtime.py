@@ -102,14 +102,7 @@ class TrackingConfig:
     # "scan": per-ms feedback cadence (reference-exact); "batch": two-pass
     # frozen-rate blocks (dense, time-parallel; see channels/batch_runtime).
     runtime: str = "scan"
-    use_pallas: bool = False
-    # Anchor-only Pallas kernel: correlator sums come out of the kernel at
-    # the epoch boundaries directly instead of via a full-window prefix
-    # write + XLA gather. Measured on v5e (32ch/10Msps/20ms/superblock=50):
-    # 111 ms/s vs 84 ms/s for the full-prefix kernel — the runtime is
-    # VPU-compute-bound, not HBM-bound, so the anchor masks cost more than
-    # the prefix traffic they save. Kept for low-channel-count shapes.
-    pallas_anchor: bool = False       # batch runtime: fused correlation kernel
+    use_pallas: bool = False       # batch runtime: fused correlation kernel
     pallas_interpret: bool = False  # run the kernel in interpreter mode
     # Batch runtime: blocks per device dispatch (host fetch amortisation);
     # host-side decode/measurement cadence coarsens to the superblock.

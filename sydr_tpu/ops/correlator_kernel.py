@@ -247,142 +247,3 @@ def block_cumsum_streams(
         scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)
-
-
-# ---------------------------------------------------------------------------
-# Anchor-only variant: inclusive prefixes at the epoch boundaries only
-# ---------------------------------------------------------------------------
-
-N_ANCH = 128  # padded anchor count (>= 2 * block_ms + 2)
-
-
-def _anchor_kernel(spacings, spms, n_q, local, step0, n_win,
-                   sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
-                   words_ref, anch_ref, out_ref):
-    """Grid (n_ch, n_super); out block = (1, n_streams, N_ANCH), accumulated.
-
-    The full-prefix kernel writes (and a follow-up XLA gather re-reads)
-    [n_ch, n_streams, n_win] of HBM per block, yet the loop only ever uses
-    the prefix at the ~2*block_ms epoch boundaries. Here each grid step adds
-    its chunk's contribution to ``P[a] = sum_{m <= anchors[a]} s[m]``
-    directly:
-
-      * rows entirely at-or-before the anchor contribute their full row sum
-        (``rowfull`` mask matmul);
-      * the row containing the anchor contributes a column-masked partial
-        (one [128, ROWS] x [ROWS, N_ANCH] select matmul + lane-mask reduce);
-      * later chunks contribute nothing.
-
-    Accumulating over grid revisits removes both the carry chain and all
-    large HBM traffic: output is [n_ch, n_streams, 128] per block. Negative
-    anchors (the P[-1] = 0 convention and padding) contribute zero naturally.
-    """
-    c = pl.program_id(0)
-    ks = pl.program_id(1)
-    n_streams = 2 * len(spacings)
-
-    @pl.when(ks == 0)
-    def _():
-        out_ref[...] = jnp.zeros(out_ref.shape, jnp.float32)
-
-    wfull = words_ref[pl.ds(c, 1)][0]
-    anch = anch_ref[pl.ds(c, 1)][0]                            # [N_ANCH] i32
-
-    ones_col = jnp.ones((128, 1), jnp.float32)
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ROWS, N_ANCH), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (128, N_ANCH), 0)
-
-    for sub in range(SUPER):
-        k = ks * SUPER + sub
-        m0 = k * CHUNK
-        pr = anch[None, :] - m0                                 # [1, N_ANCH]
-        in_chunk = (pr >= 0) & (pr < CHUNK)
-        a_row = pr >> 7
-        a_col = pr & 127
-        # full rows strictly before the anchor row (all rows for anchors in
-        # later chunks, none for anchors before this chunk)
-        row_lim = jnp.where(pr >= CHUNK, ROWS, jnp.where(pr < 0, 0, a_row))
-        rowfull = (row_iota < row_lim).astype(jnp.float32)      # [ROWS, NA]
-        rowsel = (in_chunk & (row_iota == a_row)).astype(jnp.float32)
-        colmask = (col_iota <= a_col).astype(jnp.float32)       # [128, NA]
-
-        streams = _sub_streams(
-            spacings, spms, n_q, local, step0,
-            sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
-        )
-        for out_idx, s in enumerate(streams):
-            # [128, ROWS] x [ROWS, NA]: per-anchor selected row, lanes as
-            # sublanes
-            sel = jax.lax.dot_general(
-                s, rowsel, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # [128, NA]
-            row_tot = jnp.dot(s, ones_col,
-                              preferred_element_type=jnp.float32)  # [ROWS,1]
-            full = jax.lax.dot_general(
-                row_tot, rowfull, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # [1, NA]
-            part = jax.lax.dot_general(
-                ones_col, sel * colmask, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # [1, NA]
-            out_ref[0, out_idx, :] = out_ref[0, out_idx, :] + (
-                full + part).reshape(N_ANCH)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
-                     "interpret"),
-)
-def block_anchor_streams(
-    window_re, window_im, words, fb_q, phic_q, scalars, anchors,
-    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
-):
-    """Inclusive stream prefixes at ``anchors`` only.
-
-    Args:
-        anchors: ``[n_ch, N_ANCH]`` int32 sample indices; entries < 0 yield 0
-            (the ``P[-1] = 0`` convention; use -1 for padding).
-
-    Returns ``[n_ch, n_streams, N_ANCH]`` float32 with
-    ``out[c, s, a] = sum_{m <= anchors[c, a]} stream_s[c, m]``.
-    """
-    n_ch = words.shape[0]
-    g_dim = words.shape[2]
-    n_streams = 2 * len(spacings)
-    n_win_pad = window_re.shape[0]
-    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
-    assert anchors.shape == (n_ch, N_ANCH)
-    n_super = n_win_pad // (SUPER * CHUNK)
-    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
-    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
-
-    kern = functools.partial(
-        _anchor_kernel, spacings, spms, n_q, local, step0, n_win
-    )
-    in_specs = [
-        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_ch, N_ANCH), lambda c, k: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    return pl.pallas_call(
-        kern,
-        grid=(n_ch, n_super),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_streams, N_ANCH),
-                               lambda c, k: (c, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, N_ANCH),
-                                       jnp.float32),
-        interpret=interpret,
-    )(scalars, fb_q, phic_q, win2, win2i, words, anchors)

@@ -45,8 +45,7 @@ import pytest
 
 
 @pytest.mark.parametrize("profile", ["borre", "kaplan"])
-@pytest.mark.parametrize("anchor", [False, True])
-def test_pallas_kernel_matches_xla_dense(profile, anchor):
+def test_pallas_kernel_matches_xla_dense(profile):
     cfg_args, bits3x, state, wre, wim = _setup()
     cfg_args["profile"] = profile
 
@@ -55,7 +54,6 @@ def test_pallas_kernel_matches_xla_dense(profile, anchor):
         cfg_xla, bits3x, state, wre, wim)
 
     cfg_pl = TrackingConfig(**cfg_args, use_pallas=True,
-                            pallas_anchor=anchor,
                             pallas_interpret=True)
     st_p, out_p = batch_runtime.run_block_batched(
         cfg_pl, bits3x, state, wre, wim)

@@ -174,7 +174,12 @@ def _kernel(spacings, spms, n_q, local, step0, n_win,
           sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
       )
       for out_idx, s in enumerate(streams):
-          cs_row = jnp.dot(s, tri_incl,
+          # bf16 inputs, f32 accumulation: 4x MXU rate; the per-sample
+          # rounding (2^-9 relative) is ~-48 dB against the thermal noise
+          # floor and the prefix accumulates in f32. The row totals for
+          # the cross-row prefix are recomputed below from the f32 sums.
+          cs_row = jnp.dot(s.astype(jnp.bfloat16),
+                           tri_incl.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
           row_tot = cs_row[:, 127:128]
           # strict-lower triangular matmul: prefix of previous row totals

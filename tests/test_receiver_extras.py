@@ -206,3 +206,70 @@ def test_atmosphere_models():
         np.deg2rad(40), np.deg2rad(210), np.deg2rad(40), np.deg2rad(260),
         50700.0, alpha, beta)
     assert 1.0 < d < 40.0
+
+
+def test_agnss_rinex_config_wiring(tmp_path):
+    """INI -> RINEX assisted ephemerides -> receiver, through the real CLI."""
+    import sydr_tpu.config as config_mod
+    from sydr_tpu.io import rinex
+    from sydr_tpu.main import main as cli_main
+    from sydr_tpu.signal.synthetic import IQGenerator
+    from tests.test_lnav import make_eph
+
+    fs = 2e6
+    eph = make_eph()
+    nav_path = str(tmp_path / "brdc.rnx")
+    rinex.write_nav(nav_path, [eph])
+
+    gen = IQGenerator(fs, noise=True, seed=9)
+    gen.add_satellite(eph.prn, doppler_hz=800.0, cn0_dbhz=48.0)
+    rf_path = str(tmp_path / "iq.bin")
+    gen.write_file(rf_path, 400, dtype="int8")
+
+    ini = tmp_path / "receiver.ini"
+    ini.write_text(f"""
+[DEFAULT]
+name = agnss_test
+ms_to_process = 400
+outfolder = {tmp_path}/out
+approx_position_x = 2795100.0
+approx_position_y = 1236100.0
+approx_position_z = 5579600.0
+
+[RFSIGNAL]
+filepath = {rf_path}
+sampling_frequency = 2e6
+intermediate_frequency = 0.0
+data_size = 8
+is_complex = true
+
+[SATELLITES]
+include_prn = {eph.prn}
+
+[AGNSS]
+agnss_enabled = True
+clock = 2021-11-30 08:39:06
+broadcast_ephemeris_path = {nav_path}
+""")
+
+    run_cfg = config_mod.load(str(ini))
+    assert run_cfg.agnss_enabled
+    assert run_cfg.agnss_ephemeris_path == nav_path
+
+    rc = cli_main(["--config", str(ini), "--cpu", "--no-dashboard",
+                   "--no-report"])
+    assert rc == 0
+    db_file = tmp_path / "out" / "agnss_test.db"
+    assert db_file.exists()
+
+    # The CLI path replaces assisted_ephemerides from the RINEX file;
+    # verify the same wiring yields a usable ephemeris for the channel.
+    from sydr_tpu.io.rinex import load_assisted_ephemerides
+    from sydr_tpu.receiver.receiver import Receiver
+
+    assisted = load_assisted_ephemerides(nav_path)
+    cfg2 = dataclasses.replace(run_cfg.receiver,
+                               assisted_ephemerides=assisted)
+    rx = Receiver(cfg2)
+    got = rx.ephemeris_for(0)
+    assert got is not None and got.prn == eph.prn and got.complete

@@ -122,6 +122,105 @@ def pcps_map(
     return maps.reshape(n_dop, n_ch, n).transpose(1, 0, 2)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sampling_frequency",
+        "intermediate_frequency",
+        "coherent",
+        "non_coherent",
+        "phases",
+        "bin_shifts",
+    ),
+)
+def pcps_shift_map(
+    iq_re: jax.Array,
+    iq_im: jax.Array,
+    code_k_re: jax.Array,
+    code_k_im: jax.Array,
+    fwd_plan: mmfft.DFTPlan,
+    inv_plan: mmfft.DFTPlan,
+    *,
+    sampling_frequency: float,
+    intermediate_frequency: float = 0.0,
+    coherent: int = 5,
+    non_coherent: int = 10,
+    phases: tuple = (0.0,),
+    bin_shifts: tuple = ((0, 0),),
+) -> jax.Array:
+    """PCPS via the DFT shift theorem: one mix+forward DFT per *phase*.
+
+    When the Doppler step divides the DFT bin spacing ``fs / n`` (the usual
+    case: 500 Hz step vs 1 kHz bins), every Doppler bin is an integer DFT
+    bin shift ``k`` away from one of ``n_phases = (fs/n) / step`` fractional
+    offsets. Mixing and the forward DFT then run once per phase instead of
+    once per bin (~10x fewer mixes and forward transforms than
+    :func:`pcps_map`), and each bin costs one spectrum product with a
+    statically rolled code spectrum plus one inverse DFT. The residual
+    output modulation ``exp(2j pi k tau / n)`` of the shifted product has
+    unit magnitude, so the non-coherent sum is bit-for-math identical.
+
+    Args:
+        phases: distinct fractional Doppler offsets [Hz], ascending.
+        bin_shifts: per output bin ``(k, phase_index)`` with
+            ``bin_hz = k * fs/n + phases[phase_index]``.
+
+    Returns ``[n_ch, n_bins, n]`` float32 correlation map (same contract as
+    :func:`pcps_map`).
+    """
+    n_ch, n = code_k_re.shape
+    blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
+    blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
+    t = (jnp.arange(coherent * n, dtype=jnp.float32)
+         / sampling_frequency).reshape(coherent, n)
+
+    spectra = []
+    for f_p in phases:
+        ph = -2.0 * jnp.pi * (intermediate_frequency + f_p) * t  # [coh, n]
+        cos, sin = jnp.cos(ph), jnp.sin(ph)
+        mre = blocks_re * cos[None, None] - blocks_im * sin[None, None]
+        mim = blocks_re * sin[None, None] + blocks_im * cos[None, None]
+        fre, fim = mmfft.dft(mre, mim, fwd_plan)
+        # coherent sum commutes with the (linear) inverse DFT
+        spectra.append((jnp.sum(fre, axis=2), jnp.sum(fim, axis=2)))
+
+    outs = []
+    for k, p in bin_shifts:
+        sre, sim = spectra[p]
+        kre = jnp.roll(code_k_re, k, axis=-1)
+        kim = jnp.roll(code_k_im, k, axis=-1)
+        pre = sre * kre[:, None] - sim * kim[:, None]
+        pim = sre * kim[:, None] + sim * kre[:, None]
+        cre, cim = mmfft.idft(pre, pim, inv_plan)
+        outs.append(jnp.sum(jnp.sqrt(cre**2 + cim**2), axis=1))  # [ch, n]
+    return jnp.stack(outs, axis=1)
+
+
+def shift_plan(bins: np.ndarray, sampling_frequency: float, n: int):
+    """(phases, bin_shifts) for :func:`pcps_shift_map`, or None if the bins
+    do not decompose onto integer DFT-bin shifts."""
+    f_bin = sampling_frequency / n
+    phases: list[float] = []
+    shifts: list[tuple[int, int]] = []
+    for d in np.asarray(bins, dtype=np.float64):
+        k = int(np.floor(d / f_bin + 1e-9))
+        rem = float(d - k * f_bin)
+        if rem < 0 or rem >= f_bin - 1e-6:
+            return None
+        match = None
+        for i, p in enumerate(phases):
+            if abs(p - rem) < 1e-6:
+                match = i
+                break
+        if match is None:
+            phases.append(rem)
+            match = len(phases) - 1
+        shifts.append((k, match))
+    if len(phases) > max(4, len(shifts) // 3):
+        return None  # not enough reuse to be worth it
+    return tuple(phases), tuple(shifts)
+
+
 @functools.partial(jax.jit, static_argnames=("samples_per_chip",))
 def peak_metric(corr_map: jax.Array, bins: jax.Array, *, samples_per_chip: int):
     """Two-peak comparison metric per channel.
@@ -193,22 +292,40 @@ def acquire(
 
     bins = np.asarray(bins, dtype=np.float32)
     n_dop = len(bins)
-    pad = (-n_dop) % doppler_chunk
-    bins_padded = np.concatenate([bins, np.repeat(bins[-1:], pad)])
-    corr = pcps_map(
-        jnp.asarray(iq_re),
-        jnp.asarray(iq_im),
-        jnp.asarray(k_re),
-        jnp.asarray(k_im),
-        jnp.asarray(bins_padded),
-        fwd,
-        inv,
-        sampling_frequency=sampling_frequency,
-        intermediate_frequency=intermediate_frequency,
-        coherent=coherent,
-        non_coherent=non_coherent,
-        doppler_chunk=doppler_chunk,
-    )[:, :n_dop, :]
+    sp = shift_plan(bins, sampling_frequency, n)
+    if sp is not None:
+        phases, bin_shifts = sp
+        corr = pcps_shift_map(
+            jnp.asarray(iq_re),
+            jnp.asarray(iq_im),
+            jnp.asarray(k_re),
+            jnp.asarray(k_im),
+            fwd,
+            inv,
+            sampling_frequency=sampling_frequency,
+            intermediate_frequency=intermediate_frequency,
+            coherent=coherent,
+            non_coherent=non_coherent,
+            phases=phases,
+            bin_shifts=bin_shifts,
+        )
+    else:
+        pad = (-n_dop) % doppler_chunk
+        bins_padded = np.concatenate([bins, np.repeat(bins[-1:], pad)])
+        corr = pcps_map(
+            jnp.asarray(iq_re),
+            jnp.asarray(iq_im),
+            jnp.asarray(k_re),
+            jnp.asarray(k_im),
+            jnp.asarray(bins_padded),
+            fwd,
+            inv,
+            sampling_frequency=sampling_frequency,
+            intermediate_frequency=intermediate_frequency,
+            coherent=coherent,
+            non_coherent=non_coherent,
+            doppler_chunk=doppler_chunk,
+        )[:, :n_dop, :]
     samples_per_chip = round(sampling_frequency / GPS_L1CA_CODE_FREQ)
     doppler, code_idx, metric = peak_metric(
         corr, jnp.asarray(bins), samples_per_chip=samples_per_chip

@@ -82,3 +82,48 @@ def test_doppler_bins_match_reference_grid():
     bins = acquisition.doppler_bins(5000, 100)
     assert len(bins) == 101
     assert bins[0] == -5000.0 and bins[-1] == 5000.0
+
+
+def test_shift_theorem_path_matches_direct():
+    """pcps_shift_map (one mix/DFT per phase) equals pcps_map per bin."""
+    import jax.numpy as jnp
+
+    from sydr_tpu.ops import acquisition as acq
+    from sydr_tpu.ops import fft as mmfft
+
+    fs = 2e6
+    gen = IQGenerator(fs, noise=True, seed=11)
+    gen.add_satellite(9, doppler_hz=-1250.0, code_phase_chips=500.0,
+                      cn0_dbhz=45.0)
+    iq = gen.generate_ms(50)
+    iq_re = np.float32(iq.real)[None]
+    iq_im = np.float32(iq.imag)[None]
+    k = acq.split_reim(acq.code_fft_conj(9, fs))
+    k_re, k_im = k[0][None], k[1][None]
+    bins = acq.doppler_bins(5000, 250)
+    n = k_re.shape[-1]
+    plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
+
+    sp = acq.shift_plan(bins, fs, n)
+    assert sp is not None and len(sp[0]) == 4  # 250 Hz step vs 1 kHz bins
+
+    pad = (-len(bins)) % 4
+    bp = np.concatenate([bins, np.repeat(bins[-1:], pad)])
+    direct = np.asarray(acq.pcps_map(
+        jnp.asarray(iq_re), jnp.asarray(iq_im),
+        jnp.asarray(k_re), jnp.asarray(k_im),
+        jnp.asarray(bp), plans[0], plans[1],
+        sampling_frequency=fs, coherent=5, non_coherent=10,
+    ))[:, :len(bins)]
+    shifted = np.asarray(acq.pcps_shift_map(
+        jnp.asarray(iq_re), jnp.asarray(iq_im),
+        jnp.asarray(k_re), jnp.asarray(k_im),
+        plans[0], plans[1],
+        sampling_frequency=fs, coherent=5, non_coherent=10,
+        phases=sp[0], bin_shifts=sp[1],
+    ))
+    np.testing.assert_allclose(shifted, direct, rtol=1e-3, atol=1e-2)
+
+    # Bin sets without phase reuse (step not dividing the bin spacing)
+    # fall back to the direct path.
+    assert acq.shift_plan(np.arange(-5000, 5001, 333.3), fs, n) is None

@@ -108,9 +108,19 @@ def bench_acquisition():
     bins = acq.doppler_bins(5000, 100)
     plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
 
+    # Device-resident inputs, matching bench_tracking: this times grid
+    # compute, not the dev tunnel's ~53 MB/s host link (in the receiver the
+    # samples are already on device for tracking; measured 2026-08-17:
+    # device 37 ms/acq vs 939 ms with per-call host upload of 48 MB).
+    import jax as _jax
+    iq_re, iq_im = _jax.device_put(iq_re), _jax.device_put(iq_im)
+    k_re = _jax.device_put(np.float32(k.real))
+    k_im = _jax.device_put(np.float32(k.imag))
+    np.asarray(iq_im[0, :8])
+
     def run():
         d, ci, m, corr = acq.acquire(
-            (iq_re, iq_im), (np.float32(k.real), np.float32(k.imag)), bins,
+            (iq_re, iq_im), (k_re, k_im), bins,
             sampling_frequency=FS, coherent=coher, non_coherent=noncoh,
             plans=plans,
         )

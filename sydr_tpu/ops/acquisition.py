@@ -262,6 +262,7 @@ def acquire(
     non_coherent: int = 10,
     doppler_chunk: int = 4,
     plans: tuple[mmfft.DFTPlan, mmfft.DFTPlan] | None = None,
+    matmul_dtype=None,
 ):
     """Full PCPS acquisition: map + peak metric.
 
@@ -287,7 +288,10 @@ def acquire(
 
     n = k_re.shape[-1]
     if plans is None:
-        plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
+        plans = (
+            mmfft.make_plan(n, matmul_dtype=matmul_dtype),
+            mmfft.make_plan(n, inverse=True, matmul_dtype=matmul_dtype),
+        )
     fwd, inv = plans
 
     bins = np.asarray(bins, dtype=np.float32)

@@ -127,3 +127,33 @@ def test_shift_theorem_path_matches_direct():
     # Bin sets without phase reuse (step not dividing the bin spacing)
     # fall back to the direct path.
     assert acq.shift_plan(np.arange(-5000, 5001, 333.3), fs, n) is None
+
+
+def test_bf16_matmul_plans_find_same_peak():
+    """bf16 DFT-matrix plans (MXU fast path) keep acquisition decisions.
+
+    The bf16 rounding (~2^-9 relative per product, f32 accumulation) is far
+    below the noise floor; the peak bin/code index must match the f32 path
+    and the correlation map must agree to ~1%.
+    """
+    import jax.numpy as jnp
+
+    gen = IQGenerator(FS, noise=True, seed=5)
+    gen.add_satellite(7, doppler_hz=-2750.0, code_phase_chips=412.5,
+                      cn0_dbhz=45.0)
+    iq = gen.generate_ms(50)[None, :]
+    code_fft = acquisition.code_fft_conj(7, FS)[None, :]
+    bins = acquisition.doppler_bins(5000, 100)
+
+    dop32, ci32, m32, map32 = acquisition.acquire(
+        iq, code_fft, bins, sampling_frequency=FS)
+    dop16, ci16, m16, map16 = acquisition.acquire(
+        iq, code_fft, bins, sampling_frequency=FS,
+        matmul_dtype=jnp.bfloat16)
+
+    assert float(dop16[0]) == float(dop32[0])
+    assert int(ci16[0]) == int(ci32[0])
+    assert abs(float(m16[0]) - float(m32[0])) < 0.05 * float(m32[0])
+    scale = float(np.max(np.asarray(map32)))
+    np.testing.assert_allclose(
+        np.asarray(map16) / scale, np.asarray(map32) / scale, atol=0.02)

@@ -152,8 +152,11 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
 
     active = (st.mode == MODE_TRACKING) & (unread >= required)
 
-    # Per-channel fixed-size window reads at dynamic offsets.
-    read_ptr = jnp.clip(avail - unread, 0, cfg.window_samples - cfg.window_size)
+    # Per-channel fixed-size window reads at dynamic offsets. The window is
+    # padded (run_block) so the fixed-size slice never overruns: clamping the
+    # start instead would silently misalign the last epoch of every block for
+    # channels whose leftover unread is below window_size - samples_per_ms.
+    read_ptr = jnp.maximum(avail - unread, 0)
 
     def one_channel(rp, code_row, req, cf, rem_ca, rem_co, cstep):
         wr = jax.lax.dynamic_slice(window_re, (rp,), (cfg.window_size,))
@@ -338,6 +341,14 @@ def run_block(cfg: TrackingConfig, codes, state: ChannelState,
     Returns:
         (new_state, outputs) with outputs a dict of ``[block_ms, n_ch]``.
     """
+    # Trailing zero pad so every fixed-size window_size slice fits without
+    # start clamping (read_ptr <= window_samples - samples_per_ms; padded
+    # samples are always beyond `required` and masked by the correlator).
+    pad = max(cfg.window_size - cfg.samples_per_ms, 0)
+    if pad:
+        zeros = jnp.zeros((pad,), window_re.dtype)
+        window_re = jnp.concatenate([window_re, zeros])
+        window_im = jnp.concatenate([window_im, zeros])
     step = functools.partial(_epoch, cfg, codes, window_re, window_im)
     state, outputs = jax.lax.scan(
         step, state, jnp.arange(cfg.block_ms, dtype=jnp.int32)

@@ -116,9 +116,10 @@ def encode_subframe(
         p[60:70] = uint_to_bits(wk - GPS_WEEK_ROLLOVER * 1024, 10)
         p[72:76] = uint_to_bits(int(getattr(eph, "ura", 0)), 4)
         p[76:82] = uint_to_bits(int(getattr(eph, "health", 0)), 6)
-        iodc = uint_to_bits(int(getattr(eph, "iodc", 0)), 9)
+        # 10-bit IODC (IS-GPS-200 20.3.3.3.1.5): 2 MSBs word 3, 8 LSBs word 8.
+        iodc = uint_to_bits(int(getattr(eph, "iodc", 0)), 10)
         p[82:84] = iodc[:2]
-        p[211:218] = iodc[2:]
+        p[210:218] = iodc[2:]
         p[196:204] = scaled_int(eph.tgd, -31, 8)
         p[218:234] = uint_to_bits(int(round(eph.toc / 2.0**4)), 16)
         p[240:248] = scaled_int(eph.af2, -55, 8)

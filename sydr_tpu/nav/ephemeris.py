@@ -75,8 +75,12 @@ class Ephemeris:
             self.week = bits_to_uint(bits[60:70]) + GPS_WEEK_ROLLOVER * 1024
             self.ura = bits_to_uint(bits[72:76])
             self.health = bits_to_uint(bits[76:82])
+            # 10-bit IODC: 2 MSBs word 3 bits 23-24, 8 LSBs word 8 bits 1-8
+            # (IS-GPS-200 20.3.3.3.1.5). The reference drops the first LSB
+            # (dsp/decoding.py:326 has a TODO); fixed here like the other
+            # spec-sign deviations.
             self.iodc = bits_to_uint(
-                np.concatenate([bits[82:84], bits[211:218]])
+                np.concatenate([bits[82:84], bits[210:218]])
             )
             self.toc = bits_to_uint(bits[218:234]) * 2.0**4
             self.tgd = bits_to_int(bits[196:204]) * 2.0**-31

@@ -51,6 +51,11 @@ class AcquisitionConfig:
     # "pcps" (FFT circular correlation) or "serial" (time-domain matmul
     # search, the reference's SerialSearch channel variant).
     method: str = "pcps"
+    # A below-threshold search re-arms after this much fresh signal
+    # (0 disables retry: one noisy window would otherwise permanently
+    # disable the satellite; the reference never retries either,
+    # channel_l1ca_borre.py:263-278 only guards on sample count).
+    retry_backoff_ms: int = 200
 
     @property
     def required_ms(self) -> int:
@@ -95,6 +100,8 @@ class TrackingSession:
         self._plans = None
         self._packed_run = None
         self.acq_results: dict[int, dict] = {}
+        # Earliest total_samples at which a failed channel may retry.
+        self._acq_retry_at: dict[int, int] = {}
 
     # ------------------------------------------------------------------
     def _update_hist(self, block_re, block_im):
@@ -115,6 +122,7 @@ class TrackingSession:
         pending = [
             i for i in range(self.n_channels)
             if self.mode_host[i] == MODE_ACQUIRING
+            and self.total_samples >= self._acq_retry_at.get(i, 0)
         ]
         need = self.acq_cfg.required_ms * self.cfg.samples_per_ms
         if not pending or self.total_samples < need:
@@ -177,8 +185,9 @@ class TrackingSession:
                 "corr_dopplers": np.asarray(bins, np.float32),
             }
             if metric[j] < self.acq_cfg.threshold:
-                mode[i] = MODE_IDLE  # not found; receiver may retry later
+                mode[i] = self._acq_fail_mode(i)
                 continue
+            self._acq_retry_at.pop(i, None)
             mode[i] = MODE_TRACKING
             carrier[i] = self.cfg.intermediate_frequency + doppler[j]
             anchor[i] = carrier[i]
@@ -198,6 +207,16 @@ class TrackingSession:
             code_freq_offset=jnp.asarray(code_off),
             unread=jnp.asarray(unread),
         )
+
+    # ------------------------------------------------------------------
+    def _acq_fail_mode(self, i: int) -> int:
+        """Mode after a below-threshold search: re-arm with backoff."""
+        if self.acq_cfg.retry_backoff_ms <= 0:
+            return MODE_IDLE
+        self._acq_retry_at[i] = self.total_samples + (
+            self.acq_cfg.retry_backoff_ms * self.cfg.samples_per_ms
+        )
+        return MODE_ACQUIRING
 
     # ------------------------------------------------------------------
     def process_block(self, block_re: np.ndarray, block_im: np.ndarray):
@@ -319,6 +338,7 @@ class TrackingSession:
         )
         self.mode_host[i] = MODE_ACQUIRING
         self.acq_results.pop(i, None)
+        self._acq_retry_at.pop(i, None)
 
     # ------------------------------------------------------------------
     def _acquire_serial(self, pending) -> None:
@@ -358,8 +378,9 @@ class TrackingSession:
                 "metric": float(metric),
             }
             if float(metric) < self.acq_cfg.threshold:
-                mode[i] = MODE_IDLE
+                mode[i] = self._acq_fail_mode(i)
                 continue
+            self._acq_retry_at.pop(i, None)
             mode[i] = MODE_TRACKING
             carrier[i] = self.cfg.intermediate_frequency + float(bins[int(fi)])
             anchor[i] = carrier[i]

@@ -26,11 +26,23 @@ def _native_lib():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(
+    native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
-        "native", "librfreader.so",
+        "native",
     )
+    path = os.path.join(native_dir, "librfreader.so")
+    if not os.path.exists(path):
+        # Build on demand (the .so is not committed); numpy fallback below.
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir], check=True,
+                capture_output=True, timeout=120,
+            )
+        except (OSError, subprocess.SubprocessError):
+            return None
     if not os.path.exists(path):
         return None
     try:

@@ -89,3 +89,49 @@ def test_batch_bit_cadence(both_runs):
         idx = np.flatnonzero(out["bit_ready"][:, i])
         gaps = np.diff(idx)
         assert (np.abs(gaps - 20) <= 1).all()
+
+
+def test_scan_last_epoch_not_clamped():
+    """Regression: read_ptr clamping corrupted the last epoch of a block.
+
+    With leftover unread below window_size - samples_per_ms, the old
+    ``clip(avail - unread, 0, window_samples - window_size)`` shifted the
+    window slice back by up to 240 samples on the final epoch while
+    rem_code still described the true read position — decorrelating that
+    epoch's correlators. The window is now padded instead.
+    """
+    import jax.numpy as jnp
+
+    from sydr_tpu.channels import runtime as rt
+    from sydr_tpu.channels.state import MODE_TRACKING, code_table, init_state
+
+    fs = 10e6
+    cfg = TrackingConfig(sampling_frequency=fs, block_ms=20, tail_ms=4,
+                         window_size=10240, runtime="scan")
+    spms = cfg.samples_per_ms
+    step = 1023.0 / spms
+    rem_code = 0.5
+    unread0 = 100                      # leftover < window_size - spms = 240
+
+    # First consumed sample (epoch 0) sits at avail0 - (unread0 + spms).
+    a0 = (cfg.tail_ms + 1) * spms - (unread0 + spms)
+    code_phase = (rem_code - a0 * step) % 1023.0
+
+    gen = IQGenerator(fs, noise=False)
+    gen.add_satellite(1, doppler_hz=0.0, code_phase_chips=code_phase,
+                      cn0_dbhz=None, code_doppler=False)
+    iq = gen.generate_ms(cfg.tail_ms + cfg.block_ms)
+
+    st = init_state(1)
+    st.mode = jnp.full((1,), MODE_TRACKING, jnp.int32)
+    st.rem_code = jnp.full((1,), rem_code, jnp.float32)
+    st.unread = jnp.full((1,), unread0, jnp.int32)
+    codes = code_table([1])
+
+    _, out = rt.run_block(cfg, codes, st,
+                          np.float32(iq.real), np.float32(iq.imag))
+    ip = np.asarray(out["i_prompt"])[:, 0]
+    assert np.asarray(out["active"]).all()
+    # Every epoch, including the last, must be fully correlated.
+    assert ip.min() > 0.9 * ip.max(), ip
+    assert ip[-1] > 0.9 * spms

@@ -273,3 +273,30 @@ broadcast_ephemeris_path = {nav_path}
     rx = Receiver(cfg2)
     got = rx.ephemeris_for(0)
     assert got is not None and got.prn == eph.prn and got.complete
+
+
+def test_failed_acquisition_retries_with_backoff():
+    """Noise-only start: below-threshold searches re-arm and eventually
+    succeed once the satellite signal appears (regression: one noisy
+    window used to disable the channel permanently)."""
+    from sydr_tpu.channels.state import MODE_ACQUIRING, MODE_TRACKING
+
+    rng = np.random.default_rng(3)
+    cfg = _cfg()
+    rx = Receiver(cfg)
+    spms = rx.cfg.tracking.samples_per_ms
+
+    # 120 ms of pure noise: enough history for a (failing) first search.
+    for _ in range(6):
+        noise = (rng.standard_normal(20 * spms)
+                 + 1j * rng.standard_normal(20 * spms)) * np.sqrt(0.5)
+        rx.process_ms(noise.astype(np.complex64))
+    assert all(m == MODE_ACQUIRING for m in rx.session.mode_host)
+    assert rx.session._acq_retry_at, "failed search did not arm a retry"
+
+    gen = _gen()
+    for _ in range(40):  # signal appears; retries should lock both PRNs
+        rx.process_ms(gen.generate_ms(20))
+        if all(m == MODE_TRACKING for m in rx.session.mode_host):
+            break
+    assert all(m == MODE_TRACKING for m in rx.session.mode_host)

@@ -66,12 +66,18 @@ C0I_MIN = -1
 
 
 def _group_size(sampling_frequency: float) -> tuple[int, int]:
-    """(group_size, local) such that the chip span packs into 24 bits."""
+    """(group_size, local) such that the chip span packs into 24 bits.
+
+    The +7 margin covers ceil rounding, the correlator spacing, and two
+    extra headroom bits so the Pallas kernel can share the ``c0i = 0``
+    word row across all spacings (per-ms anchor drift + spacing shift the
+    bit index by up to 2 beyond the per-spacing-row range).
+    """
     step0 = GPS_L1CA_CODE_FREQ / sampling_frequency
     g = 128
-    while g > 8 and int(np.ceil((g - 1) * step0)) + 5 > 24:
+    while g > 8 and int(np.ceil((g - 1) * step0)) + 7 > 24:
         g //= 2
-    return g, int(np.ceil((g - 1) * step0)) + 5
+    return g, int(np.ceil((g - 1) * step0)) + 7
 
 
 def tiled_code_bits(prns: list[int]) -> np.ndarray:
@@ -231,7 +237,8 @@ def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
         + omega * b_rem.astype(jnp.float32)
     )
     phic_q = jnp.mod(phic0[:, None] - qs[None, :] * w_ms[:, None], TWO_PI)
-    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q}
+    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q,
+            "rolled": rolled}
 
 
 def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
@@ -312,6 +319,54 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
     return jnp.stack(streams, axis=1)
 
 
+def _edge_partials(rolled, fb_q, phic_q, omega, code_step,
+                   window_re, window_im, bounds, spacings, spms):
+    """Partial-row stream sums at epoch boundaries.
+
+    For boundary b, returns the sum of each correlation stream over window
+    samples ``[128*(b>>7), b)`` — the intra-row part of the inclusive
+    prefix S(b) that the kernel's 128-sample row sums cannot resolve.
+    Tiny: [n_ch, n_bounds, 128] samples, recomputed densely in XLA.
+
+    Args:
+        rolled: ``[n_ch, 1064]`` rolled code bits (``block_geometry``).
+        bounds: ``[n_ch, n_bounds]`` window-sample boundary positions.
+
+    Returns ``[n_ch, n_bounds, 2 * len(spacings)]`` float32.
+    """
+    n_ch, n_q = fb_q.shape
+    row = bounds >> 7
+    off = bounds & 127
+    lanes = jnp.arange(128, dtype=jnp.int32)
+    m = (row << 7)[:, :, None] + lanes[None, None, :]     # [n_ch, nb, 128]
+    mask = lanes[None, None, :] < off[:, :, None]
+    q = jnp.clip(m // spms, 0, n_q - 1)
+    lm = (m - q * spms).astype(jnp.float32)
+
+    def at_q(table):
+        flat = jnp.take_along_axis(table, q.reshape(n_ch, -1), axis=1)
+        return flat.reshape(m.shape)
+
+    fb = at_q(fb_q)
+    ph = at_q(phic_q)
+    wre = window_re[m]
+    wim = window_im[m]
+    phase = ph - omega[:, None, None] * lm
+    cosv, sinv = jnp.cos(phase), jnp.sin(phase)
+    mre = cosv * wre - sinv * wim
+    mim = cosv * wim + sinv * wre
+    outs = []
+    for sp in spacings:
+        idxf = jnp.ceil(fb + sp + lm * code_step[:, None, None]).astype(
+            jnp.int32)
+        gi = jnp.clip(8 + idxf, 0, rolled.shape[1] - 1)
+        bitv = jnp.take_along_axis(rolled, gi.reshape(n_ch, -1), axis=1)
+        chip = 2.0 * bitv.reshape(m.shape) - 1.0
+        outs.append(jnp.sum(jnp.where(mask, chip * mre, 0.0), axis=-1))
+        outs.append(jnp.sum(jnp.where(mask, chip * mim, 0.0), axis=-1))
+    return jnp.stack(outs, axis=-1)
+
+
 def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
             window_re, window_im):
     """Correlators ``[block_ms, n_ch, 6]`` for the whole block.
@@ -340,55 +395,58 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         bg["base"], bg["words"], bg["fb_q"], bg["phic_q"])
 
     # --- Fused Pallas kernel path ------------------------------------------
-    if cfg.use_pallas and gsize == 128:
+    if cfg.use_pallas and gsize == 128 and spms >= 8192:
         from sydr_tpu.ops import correlator_kernel as ck
+        from sydr_tpu.ops import profiles as prof
 
-        blockpad = ck.SUPER * ck.CHUNK
-        pad = (-n_win) % blockpad
+        pad = (-n_win) % ck.CHUNK
         wre_p = jnp.concatenate(
             [window_re, jnp.zeros(pad, jnp.float32)]) if pad else window_re
         wim_p = jnp.concatenate(
             [window_im, jnp.zeros(pad, jnp.float32)]) if pad else window_im
-        g_pad = (-words.shape[-1]) % 128
-        words_p = jnp.concatenate(
-            [words, jnp.zeros(words.shape[:-1] + (g_pad,), jnp.float32)],
-            axis=-1) if g_pad else words
+        # Transposed prompt-row (c0i = 0) word table: per-row words become
+        # static sublane slices in the kernel. Front rows (WOFF) absorb
+        # negative run-b slice offsets; all padding is masked in-kernel.
+        wp = words[:, -C0I_MIN, :]                        # [n_ch, G]
+        a_max = (spms - 1) // 128
+        g_pad = -(-(ck.WOFF + a_max + ck.ROWS + 2) // 8) * 8
+        wt = jnp.zeros((n_ch, g_pad), jnp.float32)
+        wt = wt.at[:, ck.WOFF:ck.WOFF + wp.shape[1]].set(wp)[..., None]
         scalars = jnp.stack(
             [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
         )
-        from sydr_tpu.ops import profiles as prof
-
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
-        prefix = ck.block_cumsum_streams(
-            wre_p, wim_p, words_p, fb_q, phic_q, scalars,
+        rows = ck.block_rowsum_streams(
+            wre_p, wim_p, wt, fb_q, phic_q, scalars,
             spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-            step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
+            step0=step0, interpret=cfg.pallas_interpret,
         )
-        # Epochs are contiguous (b_end(e) == b_start(e+1); inactive epochs
-        # consume nothing), so block_ms + 1 boundary picks suffice and each
-        # correlator is the difference of consecutive picks. XLA lowers
-        # take_along_axis to a serial per-index loop (~0.17 ms per index
-        # per second of signal at 32 channels), so fewer picks matter; the
-        # in-kernel pick variants tried instead of this gather all measured
-        # slower (docs/performance.md).
+        rs = rows[..., :n_streams]                        # [n_ch, n_rows, S]
+        # Epoch correlators from row-level cumulative sums: epochs are
+        # contiguous (b_end(e) == b_start(e+1); inactive epochs consume
+        # nothing), so block_ms + 1 boundary evaluations suffice; each is
+        # a row-cumsum pick plus a 128-sample partial-row recomputation.
+        # XLA lowers take_along_axis to a serial per-index loop, so fewer
+        # picks matter (docs/performance.md).
+        cum = jnp.cumsum(rs, axis=1)
         req_eff = jnp.where(geo["active"], geo["required"], 0)
         b_start = jnp.clip(geo["b_start"] + base[None, :], 0, n_win)
         last_end = jnp.clip(
             b_start[-1:] + req_eff[-1:], 0, n_win)        # [1, n_ch]
         bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
-        # inclusive prefix: sum[b0, b1) = P[b1-1] - P[b0-1], P[-1] = 0
-        valid = (bounds > 0)
-        idxs_c = jnp.clip(bounds - 1, 0, prefix.shape[-1] - 1)
-        flat = jnp.transpose(idxs_c, (1, 0)).reshape(n_ch, 1, -1)
-        vflat = jnp.transpose(valid, (1, 0)).reshape(n_ch, 1, -1)
-        picked = jnp.take_along_axis(
-            prefix,
-            jnp.broadcast_to(flat, (n_ch, n_streams, flat.shape[-1])),
-            axis=-1,
-        ) * vflat
-        corr = picked[:, :, 1:] - picked[:, :, :-1]
-        return jnp.transpose(corr, (2, 0, 1))
+        rowb = jnp.transpose(bounds)                      # [n_ch, bm+1]
+        row = rowb >> 7
+        idx = jnp.clip(row - 1, 0, cum.shape[1] - 1)
+        full = jnp.take_along_axis(cum, idx[:, :, None], axis=1) \
+            * (row > 0)[:, :, None]
+        part = _edge_partials(
+            bg["rolled"], fb_q, phic_q, omega, code_step, wre_p, wim_p,
+            jnp.transpose(bounds), spacings_eff, spms,
+        )
+        s_at = full + part                                # [n_ch, bm+1, S]
+        corr = s_at[:, 1:] - s_at[:, :-1]                 # [n_ch, bm, S]
+        return jnp.transpose(corr, (1, 0, 2))
 
     # --- Dense mix (via the shared slice helper) ---------------------------
     streams_arr = dense_streams(

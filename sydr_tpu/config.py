@@ -214,3 +214,37 @@ def load(path: str) -> RunConfig:
     if path.endswith((".yaml", ".yml")):
         return load_yaml(path)
     return load_ini(path)
+
+
+def apply_agnss(run_cfg: RunConfig) -> RunConfig:
+    """Resolve AGNSS + MEASUREMENTS settings into the ReceiverConfig.
+
+    Mirrors the reference's assisted start-up (receiver_gps_l1ca.py:66-71):
+    RINEX ephemerides become ``assisted_ephemerides``, GPSA/GPSB header
+    Klobuchar parameters switch the iono correction on, and the AGNSS clock
+    datetime seeds the receiver clock. MEASUREMENTS toggles map onto
+    ``enable_doppler``.
+    """
+    updates: dict = {}
+    if run_cfg.agnss_enabled and run_cfg.agnss_ephemeris_path:
+        from sydr_tpu.io.rinex import load_assisted
+
+        ephs, hdr = load_assisted(run_cfg.agnss_ephemeris_path)
+        updates["assisted_ephemerides"] = ephs
+        if hdr.has_klobuchar:
+            updates.update(
+                iono_enabled=True,
+                iono_alpha=hdr.iono_alpha,
+                iono_beta=hdr.iono_beta,
+            )
+        if run_cfg.agnss_clock:
+            from sydr_tpu.nav.gpstime import GpsTime
+
+            updates["assisted_clock_tow"] = GpsTime.from_string(
+                run_cfg.agnss_clock).seconds
+    if run_cfg.measurements_enabled:
+        updates["enable_doppler"] = bool(
+            run_cfg.measurements_enabled.get("doppler", True))
+    if updates:
+        run_cfg.receiver = dataclasses.replace(run_cfg.receiver, **updates)
+    return run_cfg

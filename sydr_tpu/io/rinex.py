@@ -9,10 +9,31 @@ external datasets (the reference has no writer).
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as _dt
 
 from sydr_tpu.nav.ephemeris import Ephemeris
 from sydr_tpu.nav.gpstime import GpsTime
+
+
+@dataclasses.dataclass
+class NavHeader:
+    """RINEX nav header fields the receiver consumes.
+
+    ``iono_alpha``/``iono_beta`` are the GPS Klobuchar corrections from the
+    GPSA/GPSB ``IONOSPHERIC CORR`` lines (reference parses them in
+    ``RINEXNav._readHeader``, ``/root/reference/sydr/io/RINEXNav.py:47-59``);
+    ``gal_alpha`` the Galileo NeQuick-G coefficients (GAL line).
+    """
+
+    version: float = 3.04
+    iono_alpha: tuple | None = None
+    iono_beta: tuple | None = None
+    gal_alpha: tuple | None = None
+
+    @property
+    def has_klobuchar(self) -> bool:
+        return self.iono_alpha is not None and self.iono_beta is not None
 
 
 def _f(x: str) -> float:
@@ -27,8 +48,41 @@ def _fmt(x: float) -> str:
     return f"{mant}D{int(exp):+03d}"
 
 
-def read_nav(path: str) -> list[Ephemeris]:
-    """Parse all GPS ephemeris records from a RINEX 3.x navigation file."""
+def read_header(path: str) -> NavHeader:
+    """Parse the RINEX nav header (version + ionospheric corrections)."""
+    hdr = NavHeader()
+    with open(path) as fh:
+        for line in fh:
+            if "END OF HEADER" in line:
+                break
+            label = line[60:].strip()
+            if label == "RINEX VERSION / TYPE":
+                try:
+                    hdr.version = float(line[0:9])
+                except ValueError:
+                    pass
+            elif label == "IONOSPHERIC CORR":
+                key = line[0:4].strip()
+                vals = tuple(_f(line[5 + 12 * k: 5 + 12 * (k + 1)])
+                             for k in range(4))
+                if key == "GPSA":
+                    hdr.iono_alpha = vals
+                elif key == "GPSB":
+                    hdr.iono_beta = vals
+                elif key == "GAL":
+                    hdr.gal_alpha = vals
+    return hdr
+
+
+def read_nav(path: str, systems: tuple = ("G",)) -> list[Ephemeris]:
+    """Parse ephemeris records from a RINEX 3.x navigation file.
+
+    GPS (``G``) records map fully onto :class:`Ephemeris`; Galileo (``E``)
+    records share the Keplerian block (the reference parses both through the
+    same field table, ``RINEXNav.py:85-136``) and are tagged via
+    ``Ephemeris.system`` — the L1 C/A receiver consumes only GPS, but the
+    reader keeps AGNSS files with mixed constellations usable.
+    """
     with open(path) as fh:
         lines = fh.read().splitlines()
 
@@ -43,9 +97,10 @@ def read_nav(path: str) -> list[Ephemeris]:
     i = body
     while i < len(lines):
         line = lines[i]
-        if not line.startswith("G"):
+        if not line[:1] in systems or len(line) < 23:
             i += 1
             continue
+        system = line[0]
         prn = int(line[1:3])
         toc_dt = _dt.datetime(
             int(line[4:8]), int(line[9:11]), int(line[12:14]),
@@ -77,14 +132,26 @@ def read_nav(path: str) -> list[Ephemeris]:
             omega_dot=rows[3][3],
             i_dot=rows[4][0], week=int(rows[4][2]),
             ura=int(rows[5][0]), health=int(rows[5][1]),
-            tgd=rows[5][2], iodc=int(rows[5][3]),
+            # Galileo: BGD E5a/E1 occupies the TGD slot and IODC is absent
+            # (reference RINEXNav.py:128-131).
+            tgd=rows[5][2],
+            iodc=int(rows[5][3]) if system == "G" else 0,
+            system=system,
         )
         eph.has_subframe1 = eph.has_subframe2 = eph.has_subframe3 = True
         out.append(eph)
     return out
 
 
-def write_nav(path: str, ephemerides: list[Ephemeris]) -> None:
+def _fmt12(x: float) -> str:
+    """RINEX 12.4 'D' notation for header iono lines (12-char field)."""
+    s = f"{x: .4E}"
+    mant, exp = s.split("E")
+    return f"{mant:>8}D{int(exp):+03d}"
+
+
+def write_nav(path: str, ephemerides: list[Ephemeris],
+              header: NavHeader | None = None) -> None:
     """Write a minimal RINEX 3.04 GPS navigation file."""
     with open(path, "w") as fh:
         fh.write(
@@ -92,6 +159,11 @@ def write_nav(path: str, ephemerides: list[Ephemeris]) -> None:
             f"{'G: GPS':<20}{'RINEX VERSION / TYPE':<20}\n"
         )
         fh.write(f"{'sydr_tpu':<60}{'PGM / RUN BY / DATE':<20}\n")
+        if header is not None and header.has_klobuchar:
+            for key, vals in (("GPSA", header.iono_alpha),
+                              ("GPSB", header.iono_beta)):
+                body = "".join(_fmt12(v) for v in vals)
+                fh.write(f"{key:<4} {body:<55}{'IONOSPHERIC CORR':<20}\n")
         fh.write(f"{'':60}{'END OF HEADER':<20}\n")
         for eph in ephemerides:
             t = GpsTime(eph.week, eph.toc).to_datetime()
@@ -115,8 +187,13 @@ def write_nav(path: str, ephemerides: list[Ephemeris]) -> None:
 
 
 def load_assisted_ephemerides(path: str) -> dict[int, Ephemeris]:
-    """{prn: Ephemeris} for AGNSS assisted mode."""
+    """{prn: Ephemeris} for AGNSS assisted mode (GPS records)."""
     out: dict[int, Ephemeris] = {}
     for eph in read_nav(path):
         out[eph.prn] = eph
     return out
+
+
+def load_assisted(path: str) -> tuple[dict[int, Ephemeris], NavHeader]:
+    """AGNSS bundle: ({prn: Ephemeris}, header with iono corrections)."""
+    return load_assisted_ephemerides(path), read_header(path)

@@ -136,14 +136,9 @@ def main(argv=None) -> int:
             data_size=run_cfg.rf_data_size,
             is_complex=run_cfg.rf_is_complex,
         ))
-        if run_cfg.agnss_enabled and run_cfg.agnss_ephemeris_path:
-            from sydr_tpu.io.rinex import load_assisted_ephemerides
-
-            run_cfg.receiver = dataclasses.replace(
-                run_cfg.receiver,
-                assisted_ephemerides=load_assisted_ephemerides(
-                    run_cfg.agnss_ephemeris_path),
-            )
+        # AGNSS (ephemerides + header iono + assisted clock) and
+        # MEASUREMENTS toggles.
+        run_cfg = config_mod.apply_agnss(run_cfg)
     else:
         parser.print_help()
         return 2
@@ -157,8 +152,8 @@ def main(argv=None) -> int:
     dash = Dashboard(receiver, enabled=not args.no_dashboard)
     block_ms = (run_cfg.receiver.tracking.block_ms
                 * run_cfg.receiver.tracking.superblock)
-    chunk_ms = max(block_ms, 500 // block_ms * block_ms if block_ms <= 500
-                   else block_ms)
+    # Feed ~500 ms per read (whole blocks); long dispatches feed one block.
+    chunk_ms = max(block_ms, (500 // block_ms) * block_ms)
 
     t_start = time.time()
     processed = 0
@@ -175,10 +170,8 @@ def main(argv=None) -> int:
                 break
             receiver.process_ms((re, im))
             processed += n
-            if receiver.block_outputs or True:
-                out = receiver.last_outputs
-                if out is not None:
-                    dash.update(out)
+            if receiver.last_outputs is not None:
+                dash.update(receiver.last_outputs)
             if args.checkpoint_every and processed % args.checkpoint_every == 0:
                 from sydr_tpu.receiver.checkpoint import save_checkpoint
 

@@ -52,6 +52,10 @@ class Ephemeris:
     has_subframe2: bool = False
     has_subframe3: bool = False
 
+    # Constellation tag ("G" GPS, "E" Galileo) — the L1 C/A receiver only
+    # consumes GPS; mixed-constellation RINEX files tag records here.
+    system: str = "G"
+
     @property
     def complete(self) -> bool:
         return self.has_subframe1 and self.has_subframe2 and self.has_subframe3

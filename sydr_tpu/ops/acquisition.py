@@ -184,16 +184,32 @@ def pcps_shift_map(
         # coherent sum commutes with the (linear) inverse DFT
         spectra.append((jnp.sum(fre, axis=2), jnp.sum(fim, axis=2)))
 
-    outs = []
-    for k, p in bin_shifts:
-        sre, sim = spectra[p]
-        kre = jnp.roll(code_k_re, k, axis=-1)
-        kim = jnp.roll(code_k_im, k, axis=-1)
-        pre = sre * kre[:, None] - sim * kim[:, None]
-        pim = sre * kim[:, None] + sim * kre[:, None]
-        cre, cim = mmfft.idft(pre, pim, inv_plan)
-        outs.append(jnp.sum(jnp.sqrt(cre**2 + cim**2), axis=1))  # [ch, n]
-    return jnp.stack(outs, axis=1)
+    # Bins grouped by phase: the rolled code spectra of a group stack into
+    # one batched spectrum product + ONE inverse DFT (static rolls are
+    # cheap slice/concats), so program size and compile time stay flat in
+    # the number of Doppler bins instead of emitting one idft per bin.
+    by_phase: dict[int, list[tuple[int, int]]] = {}
+    for i, (k, p) in enumerate(bin_shifts):
+        by_phase.setdefault(p, []).append((k, i))
+    parts, order = [], []
+    group = 16  # bound peak memory: [group, n_ch, non_coherent, n] floats
+    for p, items in by_phase.items():
+        sre, sim = spectra[p]                              # [ch, nc, n]
+        for j in range(0, len(items), group):
+            chunk = items[j:j + group]
+            kre = jnp.stack(
+                [jnp.roll(code_k_re, k, axis=-1) for k, _ in chunk])
+            kim = jnp.stack(
+                [jnp.roll(code_k_im, k, axis=-1) for k, _ in chunk])
+            pre = sre[None] * kre[:, :, None] - sim[None] * kim[:, :, None]
+            pim = sre[None] * kim[:, :, None] + sim[None] * kre[:, :, None]
+            cre, cim = mmfft.idft(pre, pim, inv_plan)
+            parts.append(
+                jnp.sum(jnp.sqrt(cre**2 + cim**2), axis=2))  # [nk, ch, n]
+            order += [i for _, i in chunk]
+    allp = jnp.concatenate(parts, axis=0)                  # [n_bins, ch, n]
+    inv_order = jnp.asarray(np.argsort(np.asarray(order)), jnp.int32)
+    return jnp.transpose(allp[inv_order], (1, 0, 2))
 
 
 def shift_plan(bins: np.ndarray, sampling_frequency: float, n: int):

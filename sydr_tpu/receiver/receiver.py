@@ -53,6 +53,11 @@ class ReceiverConfig:
     # Assisted mode: externally supplied ephemerides ({prn: Ephemeris}) allow
     # fixes before broadcast decode completes (reference AGNSS).
     assisted_ephemerides: dict | None = None
+    # Clock-assisted start: receiver time-of-week at sample 0 (reference
+    # initialises its clock from the AGNSS config datetime,
+    # receiver_gps_l1ca.py:68-71). None = initialise from the first
+    # measurement epoch (max transmit time + nominal travel time).
+    assisted_clock_tow: float | None = None
     # Measurement types.
     enable_doppler: bool = True
     # Atmospheric corrections (applied once a position estimate exists).
@@ -100,31 +105,40 @@ class _ChannelBookkeeping:
         self._partial = None
 
     def push_outputs(self, active, bit_ready, bit_ip_sum):
-        """Consume one block of per-epoch outputs; returns subframe events."""
+        """Consume one block of per-epoch outputs; returns subframe events.
+
+        Vectorised over the block: only actual data bits (50 Hz/channel, vs
+        1 kHz epochs) reach the Python decoder loop.
+        """
+        active = np.asarray(active, dtype=bool)
+        n_act = int(np.count_nonzero(active))
+        if n_act == 0:
+            return []
+        ready = active & np.asarray(bit_ready, dtype=bool)
         events = []
-        for e in range(len(active)):
-            if not active[e]:
-                continue
-            self.n_codes += 1
-            if bit_ready[e]:
-                bit = 1 if bit_ip_sum[e] > 0 else 0
+        if ready.any():
+            # n_codes *including* the bit epoch: that epoch is the first
+            # code period of the *next* bit; the finished bit spans
+            # boundaries [n_codes - 21, n_codes - 1].
+            cum = np.cumsum(active)
+            bits = np.asarray(bit_ip_sum)[ready] > 0
+            for n_at, bit in zip(cum[ready], bits):
                 self.bits_pushed += 1
-                # NOTE: n_codes has been incremented for this epoch, which is
-                # the first code period of the *next* bit; the finished bit
-                # spans boundaries [n_codes - 21, n_codes - 1].
-                ev = self.decoder.push_bit(bit)
+                ev = self.decoder.push_bit(1 if bit else 0)
                 if ev is not None:
-                    events.append(self._apply_subframe(ev))
+                    events.append(
+                        self._apply_subframe(ev, self.n_codes + int(n_at)))
+        self.n_codes += n_act
         return [ev for ev in events if ev is not None]
 
-    def _apply_subframe(self, ev):
-        # Code-boundary count at the subframe's first bit start. At a
-        # bit_ready epoch, n_codes includes the current epoch (ms 0 of the
-        # NEXT bit); the finished bit (index bits_pushed-1) spans code
-        # periods with counts [n_codes-20, n_codes-1], i.e. it starts at
-        # boundary n_codes-21. Earlier bits are 20 boundaries apart.
+    def _apply_subframe(self, ev, n_codes_at):
+        # Code-boundary count at the subframe's first bit start.
+        # ``n_codes_at`` includes the bit epoch (ms 0 of the NEXT bit); the
+        # finished bit (index bits_pushed-1) spans code periods with counts
+        # [n_codes_at-20, n_codes_at-1], i.e. it starts at boundary
+        # n_codes_at-21. Earlier bits are 20 boundaries apart.
         start_boundary = (
-            self.n_codes - 1 - 20 * (self.bits_pushed - ev.bit_index)
+            n_codes_at - 1 - 20 * (self.bits_pushed - ev.bit_index)
         )
         self.tow_ref = float(ev.tow_label - 6)
         self.boundary_ref = start_boundary
@@ -152,7 +166,9 @@ class Receiver:
         )
         self.channels = [_ChannelBookkeeping(p) for p in cfg.prns]
         self.fixes: list[PvtFix] = []
-        self.clock_tow: float | None = None   # receiver time at clock_sample
+        # Receiver time at clock_sample; clock-assisted AGNSS starts with a
+        # coarse time fix at sample 0.
+        self.clock_tow: float | None = cfg.assisted_clock_tow
         self.clock_sample: int = 0
         self._next_meas_sample = None
         self.block_outputs: list[dict] = []
@@ -250,31 +266,30 @@ class Receiver:
                         "sample": self.session.total_samples,
                     })
 
-        # Tracking rows (decimated).
+        # Tracking rows (decimated), vectorised: one fancy-index per column
+        # and a single executemany-backed add_many instead of per-element
+        # ``float(out[...][e, i])`` scalar extraction (the old per-epoch
+        # Python loop was the host wall at high RTF).
         if self.db is not None and cfg.log_tracking_decimation > 0:
             step = cfg.log_tracking_decimation
-            base_epoch = self._block_index * cfg.tracking.block_ms
-            for e in range(0, out["active"].shape[0], step):
-                for i in range(len(self.channels)):
-                    if not out["active"][e, i]:
-                        continue
-                    self.db.add("tracking", {
-                        "channel_id": i, "epoch": base_epoch + e,
-                        "i_early": float(out["i_early"][e, i]),
-                        "q_early": float(out["q_early"][e, i]),
-                        "i_prompt": float(out["i_prompt"][e, i]),
-                        "q_prompt": float(out["q_prompt"][e, i]),
-                        "i_late": float(out["i_late"][e, i]),
-                        "q_late": float(out["q_late"][e, i]),
-                        "dll_error": float(out["dll_error"][e, i]),
-                        "pll_error": float(out["pll_error"][e, i]),
-                        "carrier_freq": float(out["carrier_freq"][e, i]),
-                        "code_freq": float(out["code_freq"][e, i]),
-                        "cn0": float(out["cn0"][e, i]),
-                        "pll_lock": float(out["pll_lock"][e, i]),
-                        "fll_lock": float(out["fll_lock"][e, i]),
-                        "flags": int(out["flags"][e, i]),
-                    })
+            base_epoch = self._block_index * cfg.tracking.block_ms \
+                * cfg.tracking.superblock
+            es, chs = np.nonzero(out["active"][::step])
+            if len(es):
+                fkeys = ("i_early", "q_early", "i_prompt", "q_prompt",
+                         "i_late", "q_late", "dll_error", "pll_error",
+                         "carrier_freq", "code_freq", "cn0", "pll_lock",
+                         "fll_lock")
+                cols = [out[k][::step][es, chs].astype(float).tolist()
+                        for k in fkeys]
+                epochs = (base_epoch + es * step).tolist()
+                flags = out["flags"][::step][es, chs].astype(int).tolist()
+                self.db.add_many("tracking", [
+                    dict(zip(fkeys, vals),
+                         channel_id=int(c), epoch=ep, flags=fl)
+                    for c, ep, fl, *vals in zip(
+                        chs.tolist(), epochs, flags, *cols)
+                ])
 
         # Lock-loss detection -> reacquisition (the reference has no
         # infrastructural recovery; lost channels just idle).

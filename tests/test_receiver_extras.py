@@ -300,3 +300,71 @@ def test_failed_acquisition_retries_with_backoff():
         if all(m == MODE_TRACKING for m in rx.session.mode_host):
             break
     assert all(m == MODE_TRACKING for m in rx.session.mode_host)
+
+
+def test_agnss_header_iono_clock_and_measurements(tmp_path):
+    """RINEX header GPSA/GPSB -> Klobuchar auto-enable; AGNSS clock seeds
+    the receiver clock; MEASUREMENTS doppler toggle maps to enable_doppler
+    (reference RINEXNav.py:47-59, receiver_gps_l1ca.py:68-71)."""
+    import sydr_tpu.config as config_mod
+    from sydr_tpu.io import rinex
+    from sydr_tpu.nav.gpstime import GpsTime
+    from tests.test_lnav import make_eph
+
+    alpha = (1.1176e-08, -7.4506e-09, -5.9605e-08, 1.1921e-07)
+    beta = (116480.0, -16384.0, -327680.0, 65536.0)
+    nav_path = str(tmp_path / "brdc.rnx")
+    rinex.write_nav(nav_path, [make_eph()],
+                    header=rinex.NavHeader(iono_alpha=alpha, iono_beta=beta))
+
+    hdr = rinex.read_header(nav_path)
+    assert hdr.has_klobuchar
+    np.testing.assert_allclose(hdr.iono_alpha, alpha, rtol=1e-3)
+    np.testing.assert_allclose(hdr.iono_beta, beta, rtol=1e-3)
+
+    clock_str = "2021-11-30 08:39:06"
+    run_cfg = config_mod.RunConfig(
+        receiver=_cfg(),
+        agnss_enabled=True,
+        agnss_clock=clock_str,
+        agnss_ephemeris_path=nav_path,
+        measurements_enabled={"pseudorange": True, "doppler": False},
+    )
+    run_cfg = config_mod.apply_agnss(run_cfg)
+    rcfg = run_cfg.receiver
+    assert rcfg.iono_enabled
+    np.testing.assert_allclose(rcfg.iono_alpha, alpha, rtol=1e-3)
+    np.testing.assert_allclose(rcfg.iono_beta, beta, rtol=1e-3)
+    assert rcfg.assisted_ephemerides and 7 in rcfg.assisted_ephemerides
+    assert not rcfg.enable_doppler
+    expect_tow = GpsTime.from_string(clock_str).seconds
+    assert rcfg.assisted_clock_tow == pytest.approx(expect_tow)
+
+    # The receiver consumes the assisted clock as its time at sample 0.
+    rx = Receiver(rcfg)
+    assert rx.clock_tow == pytest.approx(expect_tow)
+
+
+def test_rinex_mixed_constellation_read(tmp_path):
+    """Galileo records are readable (tagged system='E'); GPS-only loaders
+    skip them (reference RINEXNav.py:85-136 parses both)."""
+    from sydr_tpu.io import rinex
+    from tests.test_lnav import make_eph
+
+    nav_path = str(tmp_path / "mixed.rnx")
+    rinex.write_nav(nav_path, [make_eph()])
+    # Append a Galileo record with the same Keplerian block shape.
+    with open(nav_path) as fh:
+        lines = fh.read().splitlines()
+    rec = [ln for ln in lines if ln.startswith("G07")][0]
+    body_at = lines.index(rec)
+    gal = ["E11" + rec[3:]] + lines[body_at + 1: body_at + 8]
+    with open(nav_path, "a") as fh:
+        fh.write("\n".join(gal) + "\n")
+
+    gps_only = rinex.read_nav(nav_path)
+    assert [e.prn for e in gps_only] == [7]
+    both = rinex.read_nav(nav_path, systems=("G", "E"))
+    assert {(e.system, e.prn) for e in both} == {("G", 7), ("E", 11)}
+    gal_eph = [e for e in both if e.system == "E"][0]
+    assert gal_eph.iodc == 0 and gal_eph.sqrt_a == pytest.approx(5153.672)

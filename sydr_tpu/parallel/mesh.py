@@ -88,6 +88,51 @@ def make_sharded_run_block(cfg: runtime.TrackingConfig, mesh: Mesh):
     return run
 
 
+def make_sharded_batch_step(cfg: runtime.TrackingConfig, mesh: Mesh,
+                            k_blocks: int = 1):
+    """Channel-shard the batched (production) runtime over ``mesh``.
+
+    Every op in ``batch_runtime`` — pass A/C scalar scans, the dense pass,
+    and the fused Pallas kernel (grid ``(n_ch,)``) — is elementwise over the
+    channel axis, so the sharding is collective-free: each device runs the
+    full runtime on its channel shard with the sample window replicated
+    (the window upload rides the host link once; ICI never carries samples).
+    This is the multi-chip path of the *production* runtime; the scanned
+    runtime's equivalent is :func:`make_sharded_run_block`.
+
+    Returns a jitted ``(bits3x, state, window_re, window_im) -> (state, out)``
+    with channel-sharded ``state``/``bits3x`` and replicated windows; the
+    channel count must divide over ``mesh.shape['ch']``.
+
+    Reference analog: one OS process per channel on one host
+    (``/root/reference/sydr/channel/channelManager.py``).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from sydr_tpu.channels import batch_runtime as br
+
+    def _step(tables, state, wre, wim):
+        """``tables``: bits3x (batch runtime) or code table (scan)."""
+        if cfg.runtime != "batch":
+            return runtime.run_block(cfg, tables, state, wre, wim)
+        if k_blocks > 1:
+            return br.run_superblock(cfg, k_blocks, tables, state, wre, wim)
+        return br.run_block_batched(cfg, tables, state, wre, wim)
+
+    sharded = shard_map(
+        _step, mesh,
+        in_specs=(P("ch"), P("ch"), P(), P()),
+        out_specs=(P("ch"), P(None, "ch")),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def batch_shardings(mesh: Mesh):
+    """(state/bits3x sharding, replicated sharding) for the batch step."""
+    return NamedSharding(mesh, P("ch")), NamedSharding(mesh, P())
+
+
 def sharded_pcps(
     mesh: Mesh,
     iq_re, iq_im, code_k_re, code_k_im, bins,

@@ -72,20 +72,36 @@ class TrackingSession:
         cfg: runtime.TrackingConfig,
         prns: list[int],
         acq_cfg: AcquisitionConfig | None = None,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``ch`` axis — the
+        tracking runtime then runs channel-sharded over the mesh devices
+        (``parallel.mesh.make_sharded_batch_step``); the channel count must
+        divide over ``mesh.shape['ch']`` (pad ``prns`` with 0 if needed).
+        """
         self.cfg = cfg
         self.prns = list(prns)
         self.acq_cfg = acq_cfg or AcquisitionConfig()
         self.n_channels = len(prns)
-        self.codes = jnp.asarray(code_table(prns))
-        self.bits3x = jnp.asarray(batch_runtime.tiled_code_bits(prns))
+        self.mesh = mesh
+        self._shard_ch = None
+        if mesh is not None:
+            from sydr_tpu.parallel import mesh as pmesh
+
+            assert self.n_channels % mesh.shape["ch"] == 0, (
+                f"{self.n_channels} channels do not divide over "
+                f"{mesh.shape['ch']} 'ch' shards; pad prns with 0")
+            self._shard_ch, self._shard_repl = pmesh.batch_shardings(mesh)
+        self.codes = self._place(jnp.asarray(code_table(prns)))
+        self.bits3x = self._place(
+            jnp.asarray(batch_runtime.tiled_code_bits(prns)))
         self.state: ChannelState = init_state(self.n_channels)
         self.mode_host = np.where(
             np.asarray([p > 0 for p in self.prns]), MODE_ACQUIRING, MODE_IDLE
         ).astype(np.int32)
-        self.state = dataclasses.replace(
+        self.state = self._place_state(dataclasses.replace(
             self.state, mode=jnp.asarray(self.mode_host)
-        )
+        ))
         spms = cfg.samples_per_ms
         self.total_samples = 0
         # Host history for acquisition (keeps the last required_ms of IQ).
@@ -102,6 +118,20 @@ class TrackingSession:
         self.acq_results: dict[int, dict] = {}
         # Earliest total_samples at which a failed channel may retry.
         self._acq_retry_at: dict[int, int] = {}
+
+    # ------------------------------------------------------------------
+    def _place(self, arr):
+        """Channel-shard an array over the mesh (no-op without one)."""
+        if self._shard_ch is None:
+            return arr
+        return jax.device_put(arr, self._shard_ch)
+
+    def _place_state(self, state: ChannelState) -> ChannelState:
+        """Channel-shard every state leaf over the mesh (no-op without)."""
+        if self._shard_ch is None:
+            return state
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, self._shard_ch), state)
 
     # ------------------------------------------------------------------
     def _update_hist(self, block_re, block_im):
@@ -199,14 +229,14 @@ class TrackingSession:
             # (reference channel_l1ca_borre.py:309-311).
             unread[i] = samples_per_code - int(code_idx[j]) - 1
         self.mode_host = mode
-        self.state = dataclasses.replace(
+        self.state = self._place_state(dataclasses.replace(
             self.state,
             mode=jnp.asarray(mode),
             carrier_freq=jnp.asarray(carrier),
             freq_anchor=jnp.asarray(anchor),
             code_freq_offset=jnp.asarray(code_off),
             unread=jnp.asarray(unread),
-        )
+        ))
 
     # ------------------------------------------------------------------
     def _acq_fail_mode(self, i: int) -> int:
@@ -277,19 +307,29 @@ class TrackingSession:
         codes = self.codes
         bits3x = self.bits3x
         keys: dict[str, tuple] = {}
+        if cfg.runtime != "batch":
+            assert cfg.superblock == 1, "superblock requires the batch runtime"
+        sharded_step = None
+        if self.mesh is not None:
+            from sydr_tpu.parallel import mesh as pmesh
+
+            sharded_step = pmesh.make_sharded_batch_step(
+                cfg, self.mesh,
+                k_blocks=cfg.superblock if cfg.runtime == "batch" else 1)
 
         def inner(state, wre, wim, inv_scale):
             wre = wre.astype(jnp.float32) * inv_scale
             wim = wim.astype(jnp.float32) * inv_scale
-            if cfg.runtime == "batch" and cfg.superblock > 1:
+            tables = bits3x if cfg.runtime == "batch" else codes
+            if sharded_step is not None:
+                state, outputs = sharded_step(tables, state, wre, wim)
+            elif cfg.runtime == "batch" and cfg.superblock > 1:
                 state, outputs = batch_runtime.run_superblock(
                     cfg, cfg.superblock, bits3x, state, wre, wim)
             elif cfg.runtime == "batch":
                 state, outputs = batch_runtime.run_block_batched(
                     cfg, bits3x, state, wre, wim)
             else:
-                assert cfg.superblock == 1, \
-                    "superblock requires the batch runtime"
                 state, outputs = runtime.run_block(
                     cfg, codes, state, wre, wim)
             keys["f"] = tuple(sorted(
@@ -332,10 +372,10 @@ class TrackingSession:
         def reset_leaf(cur, init):
             return cur.at[i].set(init[i])
 
-        self.state = jax.tree_util.tree_map(
+        self.state = self._place_state(jax.tree_util.tree_map(
             reset_leaf, self.state,
             dc.replace(fresh, mode=jnp.full_like(fresh.mode, MODE_ACQUIRING)),
-        )
+        ))
         self.mode_host[i] = MODE_ACQUIRING
         self.acq_results.pop(i, None)
         self._acq_retry_at.pop(i, None)
@@ -390,11 +430,11 @@ class TrackingSession:
                 )
             unread[i] = samples_per_code - code_idx - 1
         self.mode_host = mode
-        self.state = dataclasses.replace(
+        self.state = self._place_state(dataclasses.replace(
             self.state,
             mode=jnp.asarray(mode),
             carrier_freq=jnp.asarray(carrier),
             freq_anchor=jnp.asarray(anchor),
             code_freq_offset=jnp.asarray(code_off),
             unread=jnp.asarray(unread),
-        )
+        ))

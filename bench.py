@@ -36,6 +36,9 @@ N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "20"))
 RUNTIME = os.environ.get("BENCH_RUNTIME", "batch")  # "batch" | "scan"
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
+# Sample-quantised correlator taps (hardware-correlator semantics): E/L
+# chips are whole-sample shifts of one base chip stream.
+QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
 
 
 def bench_tracking():
@@ -54,6 +57,7 @@ def bench_tracking():
         runtime=RUNTIME,
         use_pallas=USE_PALLAS,
         superblock=SUPERBLOCK if RUNTIME == "batch" else 1,
+        quantize_spacing=QUANTIZE,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)
@@ -138,7 +142,42 @@ def bench_acquisition():
 
 
 def bench_reference_cpu():
-    """Reference-design numpy EPL (per-sample gather) per channel-ms."""
+    """Reference per-channel-ms EPL rate on this host's CPU.
+
+    Uses the ACTUAL reference implementation (``/root/reference``'s
+    vectorised ``sydr.dsp.tracking.EPL``) when that checkout is present;
+    otherwise a faithful numpy re-implementation of the same operation
+    (``sydr/dsp/tracking.py:92-116``).
+    """
+    try:
+        import sys as _sys
+
+        if "/root/reference" not in _sys.path:
+            _sys.path.insert(0, "/root/reference")
+        from sydr.dsp.tracking import EPL as _ref_epl
+        from sydr.signal.gnsssignal import GenerateGPSGoldCode
+
+        n = int(round(FS * 1e-3))
+        rng = np.random.default_rng(0)
+        iq = (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+        code = GenerateGPSGoldCode(1)
+        code1025 = np.r_[code[-1], code, code[0]].astype(np.float64)
+
+        def epl_ms():
+            return _ref_epl(
+                rfData=iq, code=code1025, samplingFrequency=FS,
+                carrierFrequency=1500.0, remainingCarrier=0.5,
+                remainingCode=0.2, codeStep=1.023e6 / FS,
+                correlatorsSpacing=(-0.5, 0.0, 0.5))
+
+        epl_ms()
+        t0 = time.time()
+        reps = 50
+        for _ in range(reps):
+            epl_ms()
+        return 1e-3 / ((time.time() - t0) / reps)
+    except Exception:
+        pass
     from sydr_tpu.signal import cacode
 
     n = int(round(FS * 1e-3))

@@ -216,7 +216,9 @@ def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
     rolled = jax.vmap(
         lambda bt, s0: jax.lax.dynamic_slice(bt, (s0,), (1064,))
     )(bits3x, roll_start)
-    n_groups = (spms + gsize - 1) // gsize + 1
+    # +2 slack groups: sample-quantised correlator taps shift the chip
+    # stream forward by up to ~2 chips past the per-ms span.
+    n_groups = (spms + gsize - 1) // gsize + 2
     cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
     windex = (
         8
@@ -237,8 +239,7 @@ def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
         + omega * b_rem.astype(jnp.float32)
     )
     phic_q = jnp.mod(phic0[:, None] - qs[None, :] * w_ms[:, None], TWO_PI)
-    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q,
-            "rolled": rolled}
+    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q}
 
 
 def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
@@ -277,19 +278,41 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
         x = jnp.repeat(x_qg, gsize, axis=2)[:, :, :spms]
         return x.reshape(n_ch, n_ms_l * spms)
 
+    shifts = prof.spacing_shifts(cfg)
+    EXT = 128 if shifts is not None else 0
+    # Extended per-sample tables: the EXT lookahead samples are pinned to
+    # the last local millisecond (its anchors stay linear past spms), so
+    # sample-quantised taps can read ``base_chip[m + k]`` past the slice.
     lm = np.arange(n_samp, dtype=np.int64) % spms
+    if EXT:
+        lm = np.concatenate([lm, lm[-1] + 1 + np.arange(EXT, dtype=np.int64)])
     lm_f = jnp.asarray(lm.astype(np.float32))
     grp = lm // gsize
     cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
     cs0_m = jnp.asarray(cs0[np.minimum(grp, n_groups - 1)].astype(np.int32))
 
-    phase = expand_ms(ph_l) - omega[:, None] * lm_f[None, :]
+    phase = expand_ms(ph_l) - omega[:, None] * lm_f[None, :n_samp]
     cosv, sinv = jnp.cos(phase), jnp.sin(phase)
     mre = cosv * window_re[None, :] - sinv * window_im[None, :]
     mim = cosv * window_im[None, :] + sinv * window_re[None, :]
 
-    streams = []
-    for sp in prof.spacings_for(cfg):
+    def expand_ms_ext(x_q):
+        x = expand_ms(x_q)
+        if not EXT:
+            return x
+        return jnp.concatenate(
+            [x, jnp.repeat(x_q[:, -1:], EXT, axis=1)], axis=1)
+
+    def expand_group_ext(x_qg):
+        x = expand_group(x_qg)
+        if not EXT:
+            return x
+        tail_grp = jnp.asarray(
+            np.minimum(grp[-EXT:], n_groups - 1).astype(np.int32))
+        return jnp.concatenate([x, x_qg[:, -1, tail_grp]], axis=1)
+
+    def chip_stream(sp):
+        """0/1-masked chips at spacing ``sp``, ``[n_ch, n_samp + EXT]``."""
         r_q = fb_l + sp
         c0i_q = jnp.floor(r_q).astype(jnp.int32)
         row_q = jnp.clip(c0i_q - C0I_MIN, 0, C0I_ROWS - 1)
@@ -298,9 +321,9 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
             w_qg = w_qg + jnp.where(
                 (row_q == v)[:, :, None], words[:, v, :][:, None, :], 0.0
             )
-        w_rep = expand_group(w_qg)
-        r_m = expand_ms(r_q)
-        c0i_m = expand_ms(c0i_q.astype(jnp.float32)).astype(jnp.int32)
+        w_rep = expand_group_ext(w_qg)
+        r_m = expand_ms_ext(r_q)
+        c0i_m = expand_ms_ext(c0i_q.astype(jnp.float32)).astype(jnp.int32)
 
         idx_frac = jnp.ceil(
             r_m + lm_f[None, :] * code_step[:, None]
@@ -313,58 +336,22 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
         t = w_rep * p2
         bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
         in_range = ((l >= 0) & (l < local)).astype(jnp.float32)
-        chips = (2.0 * bit - 1.0) * in_range
-        streams.append(chips * mre)
-        streams.append(chips * mim)
+        return (2.0 * bit - 1.0) * in_range
+
+    streams = []
+    if shifts is not None:
+        base_sp, ks = shifts
+        base = chip_stream(base_sp)
+        for k in ks:
+            chips = base[:, k:k + n_samp]
+            streams.append(chips * mre)
+            streams.append(chips * mim)
+    else:
+        for sp in prof.spacings_for(cfg):
+            chips = chip_stream(sp)
+            streams.append(chips * mre)
+            streams.append(chips * mim)
     return jnp.stack(streams, axis=1)
-
-
-def _edge_partials(rolled, fb_q, phic_q, omega, code_step,
-                   window_re, window_im, bounds, spacings, spms):
-    """Partial-row stream sums at epoch boundaries.
-
-    For boundary b, returns the sum of each correlation stream over window
-    samples ``[128*(b>>7), b)`` — the intra-row part of the inclusive
-    prefix S(b) that the kernel's 128-sample row sums cannot resolve.
-    Tiny: [n_ch, n_bounds, 128] samples, recomputed densely in XLA.
-
-    Args:
-        rolled: ``[n_ch, 1064]`` rolled code bits (``block_geometry``).
-        bounds: ``[n_ch, n_bounds]`` window-sample boundary positions.
-
-    Returns ``[n_ch, n_bounds, 2 * len(spacings)]`` float32.
-    """
-    n_ch, n_q = fb_q.shape
-    row = bounds >> 7
-    off = bounds & 127
-    lanes = jnp.arange(128, dtype=jnp.int32)
-    m = (row << 7)[:, :, None] + lanes[None, None, :]     # [n_ch, nb, 128]
-    mask = lanes[None, None, :] < off[:, :, None]
-    q = jnp.clip(m // spms, 0, n_q - 1)
-    lm = (m - q * spms).astype(jnp.float32)
-
-    def at_q(table):
-        flat = jnp.take_along_axis(table, q.reshape(n_ch, -1), axis=1)
-        return flat.reshape(m.shape)
-
-    fb = at_q(fb_q)
-    ph = at_q(phic_q)
-    wre = window_re[m]
-    wim = window_im[m]
-    phase = ph - omega[:, None, None] * lm
-    cosv, sinv = jnp.cos(phase), jnp.sin(phase)
-    mre = cosv * wre - sinv * wim
-    mim = cosv * wim + sinv * wre
-    outs = []
-    for sp in spacings:
-        idxf = jnp.ceil(fb + sp + lm * code_step[:, None, None]).astype(
-            jnp.int32)
-        gi = jnp.clip(8 + idxf, 0, rolled.shape[1] - 1)
-        bitv = jnp.take_along_axis(rolled, gi.reshape(n_ch, -1), axis=1)
-        chip = 2.0 * bitv.reshape(m.shape) - 1.0
-        outs.append(jnp.sum(jnp.where(mask, chip * mre, 0.0), axis=-1))
-        outs.append(jnp.sum(jnp.where(mask, chip * mim, 0.0), axis=-1))
-    return jnp.stack(outs, axis=-1)
 
 
 def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
@@ -395,56 +382,51 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         bg["base"], bg["words"], bg["fb_q"], bg["phic_q"])
 
     # --- Fused Pallas kernel path ------------------------------------------
-    if cfg.use_pallas and gsize == 128 and spms >= 8192:
+    if cfg.use_pallas and gsize == 128:
         from sydr_tpu.ops import correlator_kernel as ck
         from sydr_tpu.ops import profiles as prof
 
-        pad = (-n_win) % ck.CHUNK
+        blockpad = ck.SUPER * ck.CHUNK
+        pad = (-n_win) % blockpad
         wre_p = jnp.concatenate(
             [window_re, jnp.zeros(pad, jnp.float32)]) if pad else window_re
         wim_p = jnp.concatenate(
             [window_im, jnp.zeros(pad, jnp.float32)]) if pad else window_im
-        # Transposed prompt-row (c0i = 0) word table: per-row words become
-        # static sublane slices in the kernel. Front rows (WOFF) absorb
-        # negative run-b slice offsets; all padding is masked in-kernel.
-        wp = words[:, -C0I_MIN, :]                        # [n_ch, G]
-        a_max = (spms - 1) // 128
-        g_pad = -(-(ck.WOFF + a_max + ck.ROWS + 2) // 8) * 8
-        wt = jnp.zeros((n_ch, g_pad), jnp.float32)
-        wt = wt.at[:, ck.WOFF:ck.WOFF + wp.shape[1]].set(wp)[..., None]
+        g_pad = (-words.shape[-1]) % 128
+        words_p = jnp.concatenate(
+            [words, jnp.zeros(words.shape[:-1] + (g_pad,), jnp.float32)],
+            axis=-1) if g_pad else words
         scalars = jnp.stack(
             [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
         )
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
-        rows = ck.block_rowsum_streams(
-            wre_p, wim_p, wt, fb_q, phic_q, scalars,
-            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-            step0=step0, interpret=cfg.pallas_interpret,
-        )
-        rs = rows[..., :n_streams]                        # [n_ch, n_rows, S]
-        # Epoch correlators from row-level cumulative sums: epochs are
-        # contiguous (b_end(e) == b_start(e+1); inactive epochs consume
-        # nothing), so block_ms + 1 boundary evaluations suffice; each is
-        # a row-cumsum pick plus a 128-sample partial-row recomputation.
-        # XLA lowers take_along_axis to a serial per-index loop, so fewer
-        # picks matter (docs/performance.md).
-        cum = jnp.cumsum(rs, axis=1)
+        # Epochs are contiguous (b_end(e) == b_start(e+1); inactive epochs
+        # consume nothing), so block_ms + 1 boundary picks suffice and each
+        # correlator is the difference of consecutive picks; the picks are
+        # extracted inside the kernel while the prefixes are
+        # register-resident (the full-prefix write was the measured ~27
+        # ms/s HBM floor; the XLA take_along_axis gather ~4 ms/s more —
+        # docs/performance.md).
         req_eff = jnp.where(geo["active"], geo["required"], 0)
         b_start = jnp.clip(geo["b_start"] + base[None, :], 0, n_win)
         last_end = jnp.clip(
             b_start[-1:] + req_eff[-1:], 0, n_win)        # [1, n_ch]
         bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
-        rowb = jnp.transpose(bounds)                      # [n_ch, bm+1]
-        row = rowb >> 7
-        idx = jnp.clip(row - 1, 0, cum.shape[1] - 1)
-        full = jnp.take_along_axis(cum, idx[:, :, None], axis=1) \
-            * (row > 0)[:, :, None]
-        part = _edge_partials(
-            bg["rolled"], fb_q, phic_q, omega, code_step, wre_p, wim_p,
-            jnp.transpose(bounds), spacings_eff, spms,
+        bounds_t = jnp.transpose(bounds).astype(jnp.int32)
+        n_bounds = cfg.block_ms + 1
+        n_sub_tot = (n_win + pad) // ck.CHUNK
+        slots, src = ck.make_bound_slots(bounds_t, n_sub_tot, n_bounds)
+        picks = ck.block_boundary_sums(
+            wre_p, wim_p, words_p, fb_q, phic_q, scalars, slots,
+            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
+            step0=step0, n_win=n_win, n_bounds=n_bounds,
+            interpret=cfg.pallas_interpret,
+            shifts=prof.spacing_shifts(cfg),
         )
-        s_at = full + part                                # [n_ch, bm+1, S]
+        # Duplicate bounds (inactive epochs) share the unique bound's pick.
+        picks = jnp.take_along_axis(picks, src[:, :, None], axis=1)
+        s_at = picks[..., :n_streams]                     # [n_ch, bm+1, S]
         corr = s_at[:, 1:] - s_at[:, :-1]                 # [n_ch, bm, S]
         return jnp.transpose(corr, (1, 0, 2))
 
@@ -488,14 +470,15 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
 
     def step(carry, inp):
         (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel,
-         lock_state, ip_prev, qp_prev,
+         fll_acc, lock_state, ip_prev, qp_prev,
          flags, code_counter, ms_counter, edge_hist, bit_edge, accum_count,
-         ip_sum, qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock,
+         ip_sum, qp_sum, ip_sq, qp_sq, ratio_sum, cn0, pll_lock, fll_lock,
          phi_virt, chip_virt) = carry
         c, active = inp["corr"], inp["active"]
 
         stv = types.SimpleNamespace(
             dll_memory=dll_mem, pll_memory=pll_mem, fll_vel=fll_vel,
+            fll_acc=fll_acc,
             i_prompt_prev=ip_prev, q_prompt_prev=qp_prev,
             pll_lock=pll_lock, fll_lock=fll_lock, lock_state=lock_state,
             code_counter=code_counter,
@@ -565,8 +548,11 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         n_qp = jnp.where(accum_reset, 0.0, qp_sum) + jnp.where(acc, q_prompt, 0.0)
         n_ip2 = jnp.where(accum_reset, 0.0, ip_sq) + jnp.where(acc, i_prompt**2, 0.0)
         n_qp2 = jnp.where(accum_reset, 0.0, qp_sq) + jnp.where(acc, q_prompt**2, 0.0)
-        cn0_new = trk.cn0_nwpr(ip_sum, qp_sum, ip_sq, qp_sq)
-        new_cn0 = jnp.where(bit_complete, cn0_new, cn0)
+        n_ratio = jnp.where(accum_reset, 0.0, ratio_sum) + jnp.where(
+            acc, trk.beaulieu_ratio_term(i_prompt, q_prompt,
+                                         ip_prev, qp_prev), 0.0)
+        new_cn0 = trk.cn0_update(cfg, bit_complete, ip_sum, qp_sum,
+                                 ip_sq, qp_sq, ratio_sum, cn0)
 
         new_pll_lock = lu["pll_lock"]
         new_fll_lock = lu["fll_lock"]
@@ -600,11 +586,13 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         new_carry = (
             upd(new_carrier, carrier_freq), upd(new_code_off, code_off),
             upd(code_err, dll_mem), upd(phase_err, pll_mem),
-            upd(lu["freq_err"], fll_mem), lu["fll_vel"], lu["lock_state"],
+            upd(lu["freq_err"], fll_mem), lu["fll_vel"], lu["fll_acc"],
+            lu["lock_state"],
             upd(i_prompt, ip_prev), upd(q_prompt, qp_prev),
             new_flags, upd(code_counter + 1, code_counter),
             new_ms_counter, new_hist, new_edge, new_accum,
-            n_ip, n_qp, n_ip2, n_qp2, new_cn0, new_pll_lock, new_fll_lock,
+            n_ip, n_qp, n_ip2, n_qp2, n_ratio,
+            new_cn0, new_pll_lock, new_fll_lock,
             jnp.where(active,
                       phi_virt + (upd(new_carrier, carrier_freq)
                                   - frozen_carrier) * 1e-3,
@@ -628,18 +616,18 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
     }
     init = (
         st.carrier_freq, st.code_freq_offset, st.dll_memory, st.pll_memory,
-        st.fll_memory, st.fll_vel, st.lock_state,
+        st.fll_memory, st.fll_vel, st.fll_acc, st.lock_state,
         st.i_prompt_prev, st.q_prompt_prev, st.flags, st.code_counter,
         st.ms_counter, st.edge_hist, st.bit_edge, st.accum_count,
-        st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum, st.cn0,
-        st.pll_lock, st.fll_lock,
+        st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum, st.cn0_ratio_sum,
+        st.cn0, st.pll_lock, st.fll_lock,
         jnp.zeros_like(st.carrier_freq), jnp.zeros_like(st.carrier_freq),
     )
     carry, outputs = jax.lax.scan(step, init, inputs, unroll=True)
-    (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel, lock_state,
-     ip_prev, qp_prev, flags,
+    (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel, fll_acc,
+     lock_state, ip_prev, qp_prev, flags,
      code_counter, ms_counter, edge_hist, bit_edge, accum_count, ip_sum,
-     qp_sum, ip_sq, qp_sq, cn0, pll_lock, fll_lock, phi_virt_end,
+     qp_sum, ip_sq, qp_sq, ratio_sum, cn0, pll_lock, fll_lock, phi_virt_end,
      chip_virt_end) = carry
 
     # End-of-block phase catch-up: realise the virtual-NCO phase the
@@ -654,12 +642,12 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         code_freq_offset=code_off,
         rem_carrier=rem_carrier_end, rem_code=rem_code_end,
         dll_memory=dll_mem, pll_memory=pll_mem,
-        fll_memory=fll_mem, fll_vel=fll_vel, fll_acc=st.fll_acc,
+        fll_memory=fll_mem, fll_vel=fll_vel, fll_acc=fll_acc,
         i_prompt_prev=ip_prev, q_prompt_prev=qp_prev,
         unread=geo["unread_end"], code_counter=code_counter,
         ms_counter=ms_counter, edge_hist=edge_hist, bit_edge=bit_edge,
         accum_count=accum_count,
-        ip_sum=ip_sum, qp_sum=qp_sum, ip_abs_sum=st.ip_abs_sum,
+        ip_sum=ip_sum, qp_sum=qp_sum, cn0_ratio_sum=ratio_sum,
         ip_sq_sum=ip_sq, qp_sq_sum=qp_sq,
         cn0=cn0, pll_lock=pll_lock, fll_lock=fll_lock,
         lock_state=lock_state,
@@ -674,9 +662,12 @@ def run_block_batched(cfg: TrackingConfig, bits3x, state: ChannelState,
 
     ``bits3x`` is the ``tiled_code_bits`` table (``[n_ch, 3134]``).
     """
+    from sydr_tpu.channels.runtime import _slew_anchor
+
     geo = _pass_a(cfg, state)
     corr = _pass_b(cfg, bits3x, state, geo, window_re, window_im)
-    return _pass_c(cfg, state, geo, corr)
+    new_state, outputs = _pass_c(cfg, state, geo, corr)
+    return _slew_anchor(cfg, new_state), outputs
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k_blocks"))

@@ -90,10 +90,26 @@ class TrackingConfig:
     fll_threshold_narrow: float = 0.8
     pll_threshold_narrow: float = 0.8
     lock_indicator_alpha: float = 0.005
+    # Kaplan carrier-loop DLF order: 2 (2nd-order PLL / 1st-order FLL) or
+    # 3 (3rd-order PLL / 2nd-order FLL, reference dsp/tracking.py:283-325).
+    dlf_order: int = 2
+    # FLL discriminator: "atan" (single-arctan, half-cycle ambiguous) or
+    # "atan2" (four-quadrant cross/dot, reference dsp/tracking.py:150-176).
+    fll_discriminator: str = "atan"
+    # C/N0 estimator fed by the 20-ms prompt accumulators: "nwpr"
+    # (narrow/wide power ratio) or "beaulieu" (reference
+    # channel_l1ca_kaplan.py:485-494, dsp/lockindicator.py:75-99).
+    cn0_estimator: str = "nwpr"
     # Carrier NCO rail: clamp the tracked frequency within +-rail of the
     # acquisition anchor (acquisition error <= half a Doppler bin), killing
     # the FLL_ATAN +-500 Hz false-lock aliases. 0 disables.
     freq_rail_hz: float = 400.0
+    # Rail re-anchoring: once a channel is bit-synced (genuinely locked, so
+    # the alias-rejection purpose of the rail is served), slew the anchor
+    # toward the tracked carrier at this rate so hours-long Doppler drift
+    # (~0.5-1 Hz/s across a satellite pass) never pins the loop at the
+    # rail. 0 disables (anchor stays at the acquisition value).
+    anchor_slew_hz_per_s: float = 5.0
     # Batch runtime: bound the total carrier correction applied within one
     # block. The virtual-NCO compensation is linear while the atan
     # discriminators saturate at +-250 Hz; clamping the per-block step keeps
@@ -112,6 +128,13 @@ class TrackingConfig:
     # are below the noise floor, so 8-bit front-end quantisation costs
     # <0.2 dB — recorded files are int8/int16 anyway.
     upload_int8: bool = True
+    # Quantise correlator spacings to whole samples (hardware-correlator
+    # semantics: E/P/L taps are integer sample lags of one chip stream, so
+    # the effective chip spacing is k * code_step, Doppler-scaled). Keeps
+    # E/L symmetric about the prompt (zero pseudorange bias) and lets the
+    # dense pass and the Pallas kernel derive E/L chips by shifting the
+    # single base chip stream instead of three per-spacing reconstructions.
+    quantize_spacing: bool = False
     epl_method: str = "bitpack"
 
     @property
@@ -257,8 +280,12 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         jnp.where(acc, i_prompt**2, 0.0)
     qp_sq_sum = jnp.where(accum_reset, 0.0, st.qp_sq_sum) + \
         jnp.where(acc, q_prompt**2, 0.0)
-    cn0_new = trk.cn0_nwpr(st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum)
-    cn0 = jnp.where(bit_complete, cn0_new, st.cn0)
+    ratio_sum = jnp.where(accum_reset, 0.0, st.cn0_ratio_sum) + \
+        jnp.where(acc, trk.beaulieu_ratio_term(
+            i_prompt, q_prompt, st.i_prompt_prev, st.q_prompt_prev), 0.0)
+    cn0 = trk.cn0_update(cfg, bit_complete, st.ip_sum, st.qp_sum,
+                         st.ip_sq_sum, st.qp_sq_sum, st.cn0_ratio_sum,
+                         st.cn0)
 
     pll_lock = lu["pll_lock"]
     fll_lock = lu["fll_lock"]
@@ -284,7 +311,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         pll_memory=upd(phase_err, st.pll_memory),
         fll_memory=upd(lu["freq_err"], st.fll_memory),
         fll_vel=lu["fll_vel"],
-        fll_acc=st.fll_acc,
+        fll_acc=lu["fll_acc"],
         i_prompt_prev=upd(i_prompt, st.i_prompt_prev),
         q_prompt_prev=upd(q_prompt, st.q_prompt_prev),
         unread=jnp.where(active, unread - required, unread),
@@ -295,7 +322,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         accum_count=accum_count,
         ip_sum=ip_sum,
         qp_sum=qp_sum,
-        ip_abs_sum=st.ip_abs_sum,
+        cn0_ratio_sum=ratio_sum,
         ip_sq_sum=ip_sq_sum,
         qp_sq_sum=qp_sq_sum,
         cn0=cn0,
@@ -353,4 +380,19 @@ def run_block(cfg: TrackingConfig, codes, state: ChannelState,
     state, outputs = jax.lax.scan(
         step, state, jnp.arange(cfg.block_ms, dtype=jnp.int32)
     )
+    state = _slew_anchor(cfg, state)
     return state, outputs
+
+
+def _slew_anchor(cfg: TrackingConfig, st: ChannelState) -> ChannelState:
+    """Per-block rail re-anchoring (see ``anchor_slew_hz_per_s``)."""
+    if cfg.anchor_slew_hz_per_s <= 0 or cfg.freq_rail_hz <= 0:
+        return st
+    max_step = cfg.anchor_slew_hz_per_s * cfg.block_ms * 1e-3
+    synced = (st.flags & FLAG_BIT_SYNC) != 0
+    anchor = st.freq_anchor + jnp.clip(
+        st.carrier_freq - st.freq_anchor, -max_step, max_step)
+    import dataclasses as _dc
+
+    return _dc.replace(
+        st, freq_anchor=jnp.where(synced, anchor, st.freq_anchor))

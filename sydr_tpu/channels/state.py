@@ -80,7 +80,7 @@ class ChannelState:
     accum_count: jax.Array       # int32 prompt entries in current bit accum
     ip_sum: jax.Array            # f32 20-ms prompt accumulators (C/N0)
     qp_sum: jax.Array            # f32
-    ip_abs_sum: jax.Array        # f32 sum of |iP| (wide-band power uses sq)
+    cn0_ratio_sum: jax.Array        # f32 sum of |iP| (wide-band power uses sq)
     ip_sq_sum: jax.Array         # f32 sum of iP^2
     qp_sq_sum: jax.Array         # f32 sum of qP^2
     cn0: jax.Array               # f32 [dB-Hz]
@@ -113,7 +113,7 @@ def init_state(n_channels: int) -> ChannelState:
         accum_count=_i32(n_channels),
         ip_sum=_f32(n_channels),
         qp_sum=_f32(n_channels),
-        ip_abs_sum=_f32(n_channels),
+        cn0_ratio_sum=_f32(n_channels),
         ip_sq_sum=_f32(n_channels),
         qp_sq_sum=_f32(n_channels),
         cn0=_f32(n_channels),

@@ -111,6 +111,15 @@ def load_ini(path: str) -> RunConfig:
                         t.get("fll_bandwidth_wide", 50.0)),
                     fll_bandwidth_narrow=float(
                         t.get("fll_bandwidth_narrow", 15.0)),
+                    # Wired DSP variants (reference dsp/tracking.py:283-325,
+                    # channel_l1ca_kaplan.py:465-502).
+                    dlf_order=int(t.get("dlf_order", 2)),
+                    fll_discriminator=t.get(
+                        "fll_discriminator", "atan").strip().lower(),
+                    cn0_estimator=t.get(
+                        "cn0_estimator", "nwpr").strip().lower(),
+                    quantize_spacing=_parse_bool(
+                        t.get("quantize_spacing", "False")),
                 )
         if "kaplan" in os.path.basename(str(chan_path)).lower():
             tracking = dataclasses.replace(tracking, profile="kaplan")

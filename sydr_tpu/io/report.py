@@ -189,6 +189,49 @@ def generate_report(
         fig.tight_layout()
         sections.append(_fig_to_html(fig))
 
+        # Map view (reference visualisation.py:643-801 renders an OSM tile
+        # map; this report is self-contained/offline, so the geodetic track
+        # is drawn locally and an OSM link opens the same spot online).
+        lla = np.array([geodesy.ecef_to_geodetic(p) for p in xyz])
+        lat = np.degrees(lla[:, 0])
+        lon = np.degrees(lla[:, 1])
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.plot(lon, lat, ".-", ms=4, color="#3b6ea5", label="fixes")
+        if reference_position is not None:
+            rl = geodesy.ecef_to_geodetic(np.asarray(reference_position,
+                                                     dtype=np.float64))
+            rlla = (np.degrees(rl[0]), np.degrees(rl[1]))
+            ax.plot([rlla[1]], [rlla[0]], "r*", ms=14, label="reference")
+        ax.set_xlabel("longitude [deg]")
+        ax.set_ylabel("latitude [deg]")
+        ax.set_title("Geodetic track")
+        ax.ticklabel_format(useOffset=False, style="plain")
+        ax.legend()
+        fig.tight_layout()
+        osm = (f"https://www.openstreetmap.org/"
+               f"?mlat={lat.mean():.6f}&mlon={lon.mean():.6f}#map=16/"
+               f"{lat.mean():.6f}/{lon.mean():.6f}")
+        sections.append(
+            "<h3>Map</h3>" + _fig_to_html(fig)
+            + f'<p><a href="{osm}">open mean fix on OpenStreetMap</a></p>')
+
+    # --- Per-stage processing time ------------------------------------------
+    timing = db.fetch("timing")
+    if timing:
+        sections.append("<h2>Processing time</h2>")
+        head = ("<table border=1 cellpadding=4><tr><th>stage</th>"
+                "<th>count</th><th>mean [ms]</th><th>max [ms]</th>"
+                "<th>total [s]</th></tr>")
+        body = "".join(
+            f"<tr><td>{html.escape(str(r['stage']))}</td>"
+            f"<td>{int(r['count'])}</td>"
+            f"<td>{r['mean_ms']:.2f}</td>"
+            f"<td>{r['max_ms']:.2f}</td>"
+            f"<td>{r['total_s']:.2f}</td></tr>"
+            for r in sorted(timing, key=lambda r: -r["total_s"])
+        )
+        sections.append(head + body + "</table>")
+
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "w") as fh:
         fh.write(

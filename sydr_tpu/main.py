@@ -59,6 +59,7 @@ def _build_demo(args):
                 profile="kaplan" if args.runtime == "batch" else "borre",
                 block_ms=5 if args.runtime == "batch" else 20,
                 superblock=args.superblock if args.runtime == "batch" else 1,
+                quantize_spacing=args.quantize,
             ),
             approx_position=tuple(rx_truth + 1000.0),
             assisted_ephemerides={e.prn: e for e in sats},
@@ -89,6 +90,8 @@ def main(argv=None) -> int:
                         help="use the fused Pallas correlation kernel")
     parser.add_argument("--superblock", type=int, default=1,
                         help="blocks per device dispatch (batch runtime)")
+    parser.add_argument("--quantize", action="store_true",
+                        help="sample-quantised correlator spacings")
     parser.add_argument("--no-dashboard", action="store_true")
     parser.add_argument("--no-report", action="store_true")
     parser.add_argument("--checkpoint-every", type=int, default=0,

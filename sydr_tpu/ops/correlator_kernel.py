@@ -1,39 +1,26 @@
 """Fused Pallas correlation kernel for the batched tracking runtime.
 
-Computes per-128-sample-row partial sums of the correlation streams
+Computes the running cumulative sums of the six correlation streams
 (E/P/L x I/Q) over a whole block of IQ samples for all channels in one fused
-kernel — carrier generation, mixing, chip reconstruction and the row
-reduction never touch HBM between steps. Epoch correlators are then
-assembled on the XLA side from a row-level cumulative sum plus a tiny
-recomputation of the partial row at each epoch boundary
-(``batch_runtime._pass_b``). This replaces the reference C tracking kernel
-(``/root/reference/sydr/c_functions/tracking.c:69-96``).
+kernel — carrier generation, mixing, chip reconstruction and prefix
+summation never touch HBM between steps. This replaces the XLA dense pass of
+``sydr_tpu.channels.batch_runtime`` whose ~35 materialised [n_ch, n_win]
+intermediates made it HBM-bound (~38 ms/100 ms block); the kernel's traffic
+is the window read (shared), the word tables, and one float32 cumsum write.
 
-Design (v3) — what the first version got wrong, measured on chip
-(docs/performance.md): per-matmul pipeline fill (~50+ cycles) dominates at
-small shapes, so its 24 tiny matmuls per 8192-sample sub-chunk (12 one-hot
-word picks + 12 prefix ops) cost ~47 ms per second of signal in fill alone,
-and the full-prefix output wrote 200 MB/block. This version:
+Chip reconstruction inside the kernel (no gathers — Mosaic on this backend
+supports none):
+  * code phase is linear in the window sample index (frozen-rate blocks);
+    per-millisecond anchors ``fb_q``/``phic_q`` carry float32 precision;
+  * each 128-lane row lies in at most two 128-sample chip groups, so the
+    per-group packed code word is selected with one lane-threshold select
+    from two per-row scalars (built per chunk from a 36-word slice with a
+    tiny one-hot);
+  * the chip is the ``l``-th bit of the word, extracted arithmetically via
+    an exponent-field bitcast (2^-l), floor and an FMA.
 
-  * **Static schedule.** The grid is ``(n_ch,)`` and the kernel iterates
-    sub-chunks in a Python loop, so every millisecond boundary, word-slice
-    offset and run split is a compile-time constant. The per-row packed
-    code word becomes a static sublane slice of a transposed word column —
-    the one-hot pick matmuls disappear entirely.
-  * **Shared prompt words.** The extracted chip is ``rolled[8 + idxf]``
-    regardless of which word row the bit is read from, so all spacings
-    share the ``c0i = 0`` word row with a per-spacing bit index
-    (``l = idxf + 2 - cs0``); the word tables carry two extra headroom
-    bits for this (``batch_runtime._group_size``).
-  * **Row sums, not prefixes.** Each sub-chunk's streams are written into
-    a VMEM scratch and reduced by ONE ``[64, S*128] x [S*128, OUTL]``
-    block-diagonal-ones matmul (bf16 inputs, f32 accumulation) — the only
-    matmul in the kernel. Output is ``[n_ch, n_rows, OUTL]`` row sums:
-    128x less HBM traffic than the full prefix.
-
-Constraints: group size 128 and ``samples_per_ms >= CHUNK`` (sampling rate
->= ~8.2 Msps); the XLA dense path remains the fallback (and the
-CPU/interpret test oracle).
+Constraints: group size 128 (sampling rate >= ~6.9 Msps); the XLA dense path
+remains the fallback (and the CPU/interpret test oracle).
 """
 
 from __future__ import annotations
@@ -47,60 +34,157 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-CHUNK = 8192   # samples per sub-chunk; must stay <= samples_per_ms
+CHUNK = 8192  # must stay <= samples_per_ms
 ROWS = CHUNK // 128
-WOFF = 64      # front padding rows of the word table (run-b offsets < 0)
+SUPER = 4             # sub-chunks per program
+GSIZE = 128
+C0I_MIN = -1
+C0I_ROWS = 4
+WRUN = 36  # per-chunk word slice: up to 32 groups + margins
 
 
-def _mix(omega, ph, lm_f, wre, wim):
-    """Carrier wipe-off for one row range: (mre, mim)."""
-    # NOTE: the TPU VPU has a hardware transcendental unit — sin/cos are
-    # nearly free; algebraic carrier factorizations measured slower.
-    phase = ph - omega * lm_f
-    cosv = jnp.cos(phase)
-    sinv = jnp.sin(phase)
-    mre = cosv * wre - sinv * wim
-    mim = cosv * wim + sinv * wre
-    return mre, mim
+def _sub_streams(spacings, spms, n_q, local, step0,
+                 sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
+                 wfull, c, k, shifts=None):
+    """The six-to-ten correlation streams for one CHUNK sub-chunk.
 
+    Carrier mix + chip reconstruction for every spacing, returned as a list
+    of [ROWS, 128] float32 arrays ordered (spacing-major, I then Q).
 
-def _part_streams(spacings, local, step0, d_r, r0, nr,
-                  omega, code_step, fb, ph, wt_col, wre, wim):
-    """Correlation streams for rows [r0, r0+nr) of one sub-chunk, one run.
-
-    ``d_r`` is the (static) offset of the sub-chunk start from the run's
-    millisecond start; ``fb``/``ph`` are the run's per-ms code/carrier
-    anchors (SMEM scalars). Returns a list of ``[nr, 128]`` float32 arrays
-    ordered (spacing-major, I then Q).
+    With ``shifts = (base_spacing, (k0, k1, ...))`` (sample-quantised
+    spacings), the chip stream is reconstructed ONCE at the base spacing on
+    an extended row grid and each correlator's chips are a forward shift of
+    it by ``k_s`` whole samples (two ``pltpu.roll``s + one lane select) —
+    hardware-correlator tap semantics, ~1/3 of the per-spacing VPU work and
+    1/3 of the word-pick matmuls.
     """
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (nr, 128), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (nr, 128), 1)
-    base = d_r + r0 * 128
-    lm = base + row_i * 128 + col_i
+    omega = sc_ref[c, 0]
+    code_step = sc_ref[c, 1]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    lane = col_i
+
+    sub = k % SUPER
+    m0 = k * CHUNK
+    q0 = m0 // spms
+    q1 = jnp.minimum(q0 + 1, n_q - 1)
+    ms_next = (q0 + 1) * spms
+
+    fb0 = fbq_ref[c, q0]
+    fb1 = fbq_ref[c, q1]
+    ph0 = phq_ref[c, q0]
+    ph1 = phq_ref[c, q1]
+
+    m = m0 + row_i * 128 + col_i
+    in_q1 = m >= ms_next
+    lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
     lm_f = lm.astype(jnp.float32)
 
-    mre, mim = _mix(omega, ph, lm_f, wre, wim)
-
-    # Per-row packed word: group index is A + row for lanes below the
-    # (static) threshold, A + row + 1 above — two static sublane slices of
-    # the transposed word column plus one lane-threshold select.
-    a_off = base >> 7
-    lam = 128 - (base - (a_off << 7))
-    w_lo = wt_col[WOFF + a_off: WOFF + a_off + nr]          # [nr, 1]
-    w_hi = wt_col[WOFF + a_off + 1: WOFF + a_off + nr + 1]  # [nr, 1]
-    w = jnp.where(col_i >= lam, w_hi, w_lo)
+    # NOTE: the TPU VPU has a hardware transcendental unit — a factored
+    # rank-1 carrier (sincos on ROWS+128 values + angle-addition
+    # reconstruction) measured ~15% SLOWER than the direct form below.
+    phase = jnp.where(in_q1, ph1, ph0) - omega * lm_f
+    cosv = jnp.cos(phase)
+    sinv = jnp.sin(phase)
+    wre = win_re_ref[0, sub].reshape(ROWS, 128)
+    wim = win_im_ref[0, sub].reshape(ROWS, 128)
+    mre = cosv * wre - sinv * wim
+    mim = cosv * wim + sinv * wre
 
     grp = lm >> 7
-    cs0v = jnp.floor(grp.astype(jnp.float32) * (128.0 * step0)).astype(
-        jnp.int32)
-    a = fb + lm_f * code_step
+    cs0v = jnp.floor(grp.astype(jnp.float32) * (GSIZE * step0)).astype(
+        jnp.int32
+    )
+
+    def words_for_run(fb_s, q_start_m, m0=m0, n_rows=ROWS):
+        """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
+
+        Mosaic forbids unaligned lane slices, so the per-row packed word is
+        picked from the full 128-group row with a lane one-hot reduction
+        using *absolute* group indices (negative for rows that start before
+        the run's millisecond — their one-hot is empty and the lanes are
+        masked by in_q1 anyway).
+        """
+        c0i = jnp.floor(fb_s).astype(jnp.int32)
+        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
+        wrow = jnp.zeros((128,), jnp.float32)
+        for v in range(C0I_ROWS):
+            wrow = wrow + jnp.where(rowsel == v, wfull[v], 0.0)
+        l0 = m0 + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) * 128 \
+            - q_start_m
+        grp_abs = l0 >> 7                                      # [n_rows, 1]
+        # one-hot x word-row dot products on the MXU instead of lane
+        # log-reductions on the VPU
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+        wrow_col = wrow.reshape(128, 1)
+        oh_lo = (lane_r == grp_abs).astype(jnp.float32)
+        oh_hi = (lane_r == grp_abs + 1).astype(jnp.float32)
+        w_lo = jnp.dot(oh_lo, wrow_col,
+                       preferred_element_type=jnp.float32)
+        w_hi = jnp.dot(oh_hi, wrow_col,
+                       preferred_element_type=jnp.float32)
+        lam = 128 - (l0 & 127)
+        return c0i, w_lo, w_hi, lam
+
+    if shifts is not None:
+        # --- Shared base chip stream + per-spacing sample shifts ----------
+        base_sp, ks_list = shifts
+        RE = ROWS + 8  # 8 lookahead rows (tile-aligned; rows 64-65 used)
+        row_e = jax.lax.broadcasted_iota(jnp.int32, (RE, 128), 0)
+        col_e = jax.lax.broadcasted_iota(jnp.int32, (RE, 128), 1)
+        m_e = m0 + row_e * 128 + col_e
+        in_q1e = m_e >= ms_next
+        lm_e = jnp.where(in_q1e, m_e - ms_next, m_e - q0 * spms)
+        lm_ef = lm_e.astype(jnp.float32)
+        grp_e = lm_e >> 7
+        cs0v_e = jnp.floor(
+            grp_e.astype(jnp.float32) * (GSIZE * step0)).astype(jnp.int32)
+
+        c0i_a, wlo_a, whi_a, lam_a = words_for_run(
+            fb0 + base_sp, q0 * spms, n_rows=RE)
+        c0i_b, wlo_b, whi_b, lam_b = words_for_run(
+            fb1 + base_sp, ms_next, n_rows=RE)
+        w_a = jnp.where(col_e >= lam_a, whi_a, wlo_a)
+        w_b = jnp.where(col_e >= lam_b, whi_b, wlo_b)
+        w = jnp.where(in_q1e, w_b, w_a)
+        r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
+        c0i_el = jnp.where(in_q1e, c0i_b, c0i_a)
+        idxf = jnp.ceil(r_el + lm_ef * code_step).astype(jnp.int32)
+        l = jnp.clip(idxf - c0i_el + 2 - cs0v_e, 0, local - 1)
+        p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
+        t = w * p2
+        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)          # [RE, 128]
+
+        streams = []
+        for ksh in ks_list:
+            if ksh == 0:
+                b = bit[0:ROWS]
+            else:
+                # stream_s[m] = base_chip[m + ksh]: lane roll + row carry
+                # (pltpu.roll takes non-negative shifts; 128-k == -k mod 128)
+                a = pltpu.roll(bit, 128 - ksh, axis=1)
+                a_up = pltpu.roll(a, RE - 1, axis=0)
+                b = jnp.where(col_i < 128 - ksh,
+                              a[0:ROWS], a_up[0:ROWS])
+            chip = 2.0 * b - 1.0
+            streams.append(chip * mre)
+            streams.append(chip * mim)
+        return streams
 
     streams = []
     for sp in spacings:
-        idxf = jnp.ceil(a + sp).astype(jnp.int32)
-        # chip = l-th bit of the shared (c0i=0) word; extracted
-        # arithmetically via an exponent-field bitcast (2^-l) and floors.
-        l = jnp.clip(idxf + 2 - cs0v, 0, local - 1)
+        c0i_a, wlo_a, whi_a, lam_a = words_for_run(fb0 + sp, q0 * spms)
+        c0i_b, wlo_b, whi_b, lam_b = words_for_run(fb1 + sp, ms_next)
+
+        w_a = jnp.where(col_i >= lam_a, whi_a, wlo_a)
+        w_b = jnp.where(col_i >= lam_b, whi_b, wlo_b)
+        w = jnp.where(in_q1, w_b, w_a)
+
+        r_el = jnp.where(in_q1, fb1 + sp, fb0 + sp)
+        c0i_el = jnp.where(in_q1, c0i_b, c0i_a)
+        idxf = jnp.ceil(r_el + lm_f * code_step).astype(jnp.int32)
+        l = jnp.clip(idxf - c0i_el + 2 - cs0v, 0, local - 1)
         p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
         t = w * p2
         bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
@@ -110,134 +194,205 @@ def _part_streams(spacings, local, step0, d_r, r0, nr,
     return streams
 
 
-def _kernel(spacings, spms, n_q, local, step0, n_sub, outl,
-            sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wt_ref,
-            out_ref, x_ref):
-    """Grid (n_ch,); out block = (1, n_sub*64, outl) row sums."""
+def _kernel(spacings, spms, n_q, local, step0, n_win, n_bounds, shifts,
+            sc_ref, fbq_ref, phq_ref, bounds_ref, win_re_ref, win_im_ref,
+            words_ref, out_ref, carry_ref):
+    """Grid (n_ch, n_super); out block = (1, n_bounds, OUTL) prefix picks.
+
+    ``out[0, j, s]`` = inclusive prefix of stream ``s`` at window sample
+    ``bounds[c, j] - 1`` (0 when the bound is 0). The prefixes live only in
+    registers: the epoch boundary values are extracted in-kernel with two
+    tiny one-hot matmuls per boundary, so the kernel writes 22 KB instead
+    of the 188 MB full prefix — the measured ~27 ms/s HBM-write floor of
+    the full-prefix variant (docs/performance.md) disappears, as does the
+    XLA ``take_along_axis`` boundary gather.
+    """
     c = pl.program_id(0)
+    ks = pl.program_id(1)
     n_streams = 2 * len(spacings)
-    omega = sc_ref[c, 0]
-    code_step = sc_ref[c, 1]
-    wt_col = wt_ref[0]  # [G_pad, 1]
+    outl = -(-n_streams // 8) * 8
 
-    # Block-diagonal ones: column s sums the s-th stream's 128 lanes.
-    bmat = (
-        (jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, outl), 0)
-         >> 7)
-        == jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, outl), 1)
-    ).astype(jnp.bfloat16)
+    @pl.when(ks == 0)
+    def _():
+        for i in range(16):
+            carry_ref[0, i] = 0.0
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    for k in range(n_sub):
-        m0 = k * CHUNK
-        q0 = min(m0 // spms, n_q - 1)
-        q1 = min(q0 + 1, n_q - 1)
-        ms_next = (q0 + 1) * spms
-        wre = win_re_ref[k]
-        wim = win_im_ref[k]
+    # strict-lower-triangular matrix for row-prefix accumulation
+    tri = (
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    ).astype(jnp.float32)
+    # inclusive upper-triangular matrix: lane-axis prefix sums via the MXU
+    # (Mosaic has no cumsum primitive)
+    tri_incl = (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(jnp.float32)
+    wfull = words_ref[pl.ds(c, 1)][0]                         # [C0I_ROWS, 128]
 
-        def emit(q, d_r, r0, nr, wre=wre, wim=wim):
-            return _part_streams(
-                spacings, local, step0, d_r, r0, nr,
-                omega, code_step, fbq_ref[c, q], phq_ref[c, q], wt_col,
-                wre[r0:r0 + nr], wim[r0:r0 + nr],
-            )
+    for sub in range(SUPER):
+      k = ks * SUPER + sub
+      streams = _sub_streams(
+          spacings, spms, n_q, local, step0,
+          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
+          shifts=shifts,
+      )
+      prefixes = []
+      row_tots = []
+      for out_idx, s in enumerate(streams):
+          # bf16 inputs, f32 accumulation: 4x MXU rate; the per-sample
+          # rounding (2^-9 relative) is ~-48 dB against the thermal noise
+          # floor and the prefix accumulates in f32. The row totals for
+          # the cross-row prefix are recomputed below from the f32 sums.
+          cs_row = jnp.dot(s.astype(jnp.bfloat16),
+                           tri_incl.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+          row_tot = cs_row[:, 127:128]
+          # strict-lower triangular matmul: prefix of previous row totals
+          row_pref = jnp.dot(tri, row_tot,
+                             preferred_element_type=jnp.float32)
+          prefixes.append(cs_row + row_pref)
+          row_tots.append(row_tot)
 
-        def store(r0, nr, streams):
-            for i, s in enumerate(streams):
-                x_ref[r0:r0 + nr, i * 128:(i + 1) * 128] = s.astype(
-                    jnp.bfloat16)
+      # Boundary picks while the prefixes are register-resident. The slot
+      # table (built in XLA) lists the at-most-2 boundaries landing in this
+      # sub-chunk, so the fast path tests only two scalars — per-bound
+      # branches (84/grid-step) measured as a pipeline-serialising
+      # regression.
+      col_o = jax.lax.broadcasted_iota(jnp.int32, (1, outl), 1)
+      for slot in range(2):
+          v = bounds_ref[c, 2 * k + slot]
 
-        d_a = m0 - q0 * spms
-        if m0 + CHUNK <= ms_next:
-            store(0, ROWS, emit(q0, d_a, 0, ROWS))
-        else:
-            # The millisecond boundary lands inside this sub-chunk: pure
-            # run-a rows below, pure run-b rows above, and one 8-row band
-            # around the boundary computed for both runs + element select.
-            bnd = ms_next - m0
-            d_b = m0 - ms_next
-            ra8 = (bnd >> 7) & ~7
-            nm = min(8, ROWS - ra8)
-            if ra8 > 0:
-                store(0, ra8, emit(q0, d_a, 0, ra8))
-            sa = emit(q0, d_a, ra8, nm)
-            sb = emit(q1, d_b, ra8, nm)
-            row_i = jax.lax.broadcasted_iota(jnp.int32, (nm, 128), 0)
-            col_i = jax.lax.broadcasted_iota(jnp.int32, (nm, 128), 1)
-            in_b = (ra8 * 128 + row_i * 128 + col_i) >= bnd
-            store(ra8, nm, [jnp.where(in_b, b, a)
-                            for a, b in zip(sa, sb)])
-            if ra8 + nm < ROWS:
-                store(ra8 + nm, ROWS - ra8 - nm,
-                      emit(q1, d_b, ra8 + nm, ROWS - ra8 - nm))
+          @pl.when(v >= 0)
+          def _(v=v, prefixes=prefixes):
+              j = v >> 13
+              r = (v >> 7) & 63
+              l = v & 127
+              oh_r = (jax.lax.broadcasted_iota(jnp.int32, (1, ROWS), 1)
+                      == r).astype(jnp.float32)
+              oh_l = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                      == l).astype(jnp.float32)
+              row = jnp.zeros((1, outl), jnp.float32)
+              for t in range(n_streams):
+                  rv = jnp.dot(oh_r, prefixes[t],
+                               preferred_element_type=jnp.float32)
+                  pick = jnp.dot(rv, oh_l,
+                                 preferred_element_type=jnp.float32)
+                  row = row + jnp.where(
+                      col_o == t, pick[0, 0] + carry_ref[0, t], 0.0)
+              out_ref[0, pl.ds(j, 1), :] = row.reshape(1, outl)
 
-        # The only matmul: bf16 inputs, f32 accumulation. The per-sample
-        # bf16 rounding is ~-48 dB against the thermal noise floor.
-        rs = jnp.dot(x_ref[...], bmat, preferred_element_type=jnp.float32)
-        out_ref[0, k * ROWS:(k + 1) * ROWS, :] = rs
+      for out_idx in range(n_streams):
+          carry_ref[0, out_idx] = (
+              carry_ref[0, out_idx] + jnp.sum(row_tots[out_idx]))
+
+
+def make_bound_slots(bounds_t, n_sub_tot, n_bounds):
+    """XLA-side slot table + dedupe map for the in-kernel boundary picks.
+
+    Args:
+        bounds_t: ``[n_ch, n_bounds]`` int32 ascending window-sample
+            boundary positions (0 = invalid; inactive epochs repeat the
+            previous bound).
+
+    Returns ``(slots, src)``: ``slots`` ``[n_ch, (n_sub_tot + 1) * 2]``
+    int32 — per sub-chunk ``k`` the packed ``(j << 13 | row << 7 | lane)``
+    of up to two unique bounds landing in it (-1 = empty; consecutive
+    unique bounds are >= ~samples_per_ms apart so two slots suffice) —
+    and ``src`` ``[n_ch, n_bounds]`` mapping every bound to the unique
+    bound whose pick it shares (0-picks for leading invalid bounds).
+    """
+    n_ch = bounds_t.shape[0]
+    g = bounds_t - 1
+    uniq = jnp.concatenate(
+        [jnp.ones_like(bounds_t[:, :1], bool),
+         bounds_t[:, 1:] != bounds_t[:, :-1]], axis=1) & (bounds_t > 0)
+    k_of = jnp.where(uniq, g // CHUNK, -1)
+    lg = g - (g // CHUNK) * CHUNK
+    jidx = jnp.arange(n_bounds, dtype=jnp.int32)
+    packed = (jidx[None, :] << 13) | ((lg >> 7) << 7) | (lg & 127)
+    # within-chunk occurrence index (0 or 1)
+    same = (k_of[:, :, None] == k_of[:, None, :]) \
+        & (jidx[None, None, :] < jidx[None, :, None]) \
+        & (k_of[:, None, :] >= 0)
+    slot = jnp.sum(same, axis=2).astype(jnp.int32)
+    k_safe = jnp.where(uniq, k_of, n_sub_tot)
+    slots = jnp.full((n_ch, n_sub_tot + 1, 2), -1, jnp.int32)
+    ch = jnp.broadcast_to(jnp.arange(n_ch)[:, None], k_safe.shape)
+    slots = slots.at[ch, k_safe, jnp.clip(slot, 0, 1)].set(
+        jnp.where(uniq, packed, -1))
+    src = jnp.maximum(
+        jax.lax.cummax(jnp.where(uniq, jidx[None, :], -1), axis=1), 0)
+    return slots.reshape(n_ch, -1), src
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spacings", "spms", "n_q", "local", "step0",
-                     "interpret"),
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
+                     "n_bounds", "interpret", "shifts"),
 )
-def block_rowsum_streams(
-    window_re, window_im, words_t, fb_q, phic_q, scalars,
-    *, spacings, spms, n_q, local, step0, interpret=False,
+def block_boundary_sums(
+    window_re, window_im, words, fb_q, phic_q, scalars, slots,
+    *, spacings, spms, n_q, local, step0, n_win, n_bounds, interpret=False,
+    shifts=None,
 ):
-    """Per-row (128-sample) sums of the correlation streams.
+    """Inclusive stream-prefix values at the epoch boundary samples.
 
     Args:
         window_re/im: ``[n_win_pad]`` float32 (padded to CHUNK multiple).
-        words_t: ``[n_ch, G_pad, 1]`` packed code words as per-channel
-            sublane columns, with ``WOFF`` zero rows in front
-            (see ``batch_runtime``).
+        words: ``[n_ch, C0I_ROWS, G]`` packed code words (G >= 128).
         fb_q, phic_q: ``[n_ch, n_q]`` per-ms code/carrier phase anchors.
         scalars: ``[n_ch, 8]`` per-channel (omega, code_step, ...).
+        slots: ``[n_ch, (n_sub + 1) * 2]`` int32 per-sub-chunk bound slot
+            table (``make_bound_slots``).
 
-    Returns ``[n_ch, n_win_pad // 128, OUTL]`` float32: element
-    ``[c, r, s]`` is the sum of stream ``s`` over samples
-    ``[128 r, 128 (r+1))`` (streams ordered spacing-major I then Q; lanes
-    ``>= 2 * len(spacings)`` are zero padding).
+    Returns ``[n_ch, n_bounds, OUTL]`` float32: ``out[c, j, s]`` is the
+    inclusive prefix of stream ``s`` over samples ``[0, bound_j)`` for the
+    unique bounds listed in ``slots`` (other rows stay 0 — resolve with
+    the ``src`` dedupe map); each epoch correlator is the difference of
+    consecutive resolved picks (streams ordered spacing-major I then Q;
+    lanes >= 2*len(spacings) are zero padding).
     """
-    n_ch = words_t.shape[0]
-    g_pad = words_t.shape[1]
+    n_ch = words.shape[0]
+    g_dim = words.shape[2]
     n_streams = 2 * len(spacings)
     outl = -(-n_streams // 8) * 8
     n_win_pad = window_re.shape[0]
     assert n_win_pad % CHUNK == 0
-    assert spms >= CHUNK, "kernel requires samples_per_ms >= CHUNK"
-    n_sub = n_win_pad // CHUNK
-    win2 = window_re.reshape(n_sub, ROWS, 128)
-    win2i = window_im.reshape(n_sub, ROWS, 128)
+    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
+    n_super = n_win_pad // (SUPER * CHUNK)
+    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
+    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
 
     kern = functools.partial(
-        _kernel, spacings, spms, n_q, local, step0, n_sub, outl
+        _kernel, spacings, spms, n_q, local, step0, n_win, n_bounds, shifts
     )
     in_specs = [
-        pl.BlockSpec((n_ch, 8), lambda c: (0, 0),
+        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_sub, ROWS, 128), lambda c: (0, 0, 0),
+        pl.BlockSpec((n_ch, slots.shape[1]), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_sub, ROWS, 128), lambda c: (0, 0, 0),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g_pad, 1), lambda c: (c, 0, 0),
+        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         kern,
-        grid=(n_ch,),
+        grid=(n_ch, n_super),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_sub * ROWS, outl),
-                               lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, n_bounds, outl),
+                               lambda c, k: (c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, n_sub * ROWS, outl),
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_bounds, outl),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((ROWS, n_streams * 128), jnp.bfloat16)],
+        scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
-    )(scalars, fb_q, phic_q, win2, win2i, words_t)
+    )(scalars, fb_q, phic_q, slots, win2, win2i, words)

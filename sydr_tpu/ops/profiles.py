@@ -21,8 +21,11 @@ import jax.numpy as jnp
 
 from sydr_tpu.constants import (
     DLF_A2,
+    DLF_A3,
+    DLF_B3,
     DLF_W0_SCALE_1ST,
     DLF_W0_SCALE_2ND,
+    DLF_W0_SCALE_3RD,
 )
 from sydr_tpu.ops import tracking as trk
 
@@ -32,10 +35,42 @@ LOCK_NARROW = 2
 
 
 def spacings_for(cfg) -> tuple:
+    """Correlator spacings [chips], optionally sample-quantised.
+
+    With ``cfg.quantize_spacing`` each spacing becomes ``k * step0`` for
+    integer ``k`` (``step0`` = chips per sample): correlator taps are then
+    integer sample lags of one chip stream — hardware-correlator semantics —
+    and E/L stay symmetric about the (exactly zero) prompt.
+    """
     if cfg.profile == "kaplan":
         w, n = cfg.spacing_wide, cfg.spacing_narrow
-        return (-w, -n, 0.0, n, w)
-    return cfg.spacings
+        sp = (-w, -n, 0.0, n, w)
+    else:
+        sp = tuple(cfg.spacings)
+    if getattr(cfg, "quantize_spacing", False):
+        from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
+
+        step0 = GPS_L1CA_CODE_FREQ / cfg.sampling_frequency
+        sp = tuple(round(s / step0) * step0 for s in sp)
+    return sp
+
+
+def spacing_shifts(cfg):
+    """(base_spacing, per-spacing integer sample shifts) or ``None``.
+
+    Only defined under ``quantize_spacing``: every spacing is
+    ``base + shift * step0`` with ``shift >= 0`` integer, so all correlator
+    chip streams are forward sample-shifts of the single base stream.
+    """
+    if not getattr(cfg, "quantize_spacing", False):
+        return None
+    from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
+
+    step0 = GPS_L1CA_CODE_FREQ / cfg.sampling_frequency
+    sp = spacings_for(cfg)
+    base = sp[0]
+    shifts = tuple(int(round((s - base) / step0)) for s in sp)
+    return base, shifts
 
 
 def loop_update(cfg, corr, st, active, comp=None):
@@ -86,9 +121,11 @@ def loop_update(cfg, corr, st, active, comp=None):
 
     if cfg.profile == "kaplan":
         pull_in = st.lock_state == LOCK_PULL_IN
+        fll_disc = (trk.fll_atan2 if cfg.fll_discriminator == "atan2"
+                    else trk.fll_atan)
         freq_err = jnp.where(
             st.code_counter > 1,
-            trk.fll_atan(i_p, q_p, st.i_prompt_prev, st.q_prompt_prev, 1e-3),
+            fll_disc(i_p, q_p, st.i_prompt_prev, st.q_prompt_prev, 1e-3),
             0.0,
         )
         phase_err = jnp.where(pull_in, 0.0, trk.pll_costas(i_p, q_p))
@@ -117,11 +154,20 @@ def loop_update(cfg, corr, st, active, comp=None):
              min(cfg.pll_bandwidth_wide, cap)],
             0.0,
         )
-        nco_carrier, fll_vel = trk.fll_assisted_pll_2nd(
-            phase_err, freq_err,
-            fll_bw / DLF_W0_SCALE_1ST, pll_bw / DLF_W0_SCALE_2ND,
-            DLF_A2, 1e-3, st.fll_vel,
-        )
+        if cfg.dlf_order == 3:
+            nco_carrier, fll_vel, fll_acc = trk.fll_assisted_pll_3rd(
+                phase_err, freq_err,
+                fll_bw / DLF_W0_SCALE_2ND, pll_bw / DLF_W0_SCALE_3RD,
+                DLF_A2, DLF_A3, DLF_B3, 1e-3, st.fll_vel, st.fll_acc,
+            )
+            fll_acc = jnp.where(active, fll_acc, st.fll_acc)
+        else:
+            nco_carrier, fll_vel = trk.fll_assisted_pll_2nd(
+                phase_err, freq_err,
+                fll_bw / DLF_W0_SCALE_1ST, pll_bw / DLF_W0_SCALE_2ND,
+                DLF_A2, 1e-3, st.fll_vel,
+            )
+            fll_acc = st.fll_acc
         fll_vel = jnp.where(active, fll_vel, st.fll_vel)
 
         alpha = cfg.lock_indicator_alpha
@@ -171,6 +217,7 @@ def loop_update(cfg, corr, st, active, comp=None):
         nco_carrier = trk.borre_loop_filter(
             phase_err, st.pll_memory, pll_t1, pll_t2, cfg.pll_pdi)
         fll_vel = st.fll_vel
+        fll_acc = st.fll_acc
         pll_lock = jnp.where(
             active,
             trk.pll_lock_indicator(i_p, q_p, st.pll_lock),
@@ -188,6 +235,7 @@ def loop_update(cfg, corr, st, active, comp=None):
         "i_late": i_l, "q_late": q_l,
         "code_err": code_err, "phase_err": phase_err, "freq_err": freq_err,
         "nco_code": nco_code, "nco_carrier": nco_carrier,
-        "fll_vel": fll_vel, "pll_lock": pll_lock, "fll_lock": fll_lock,
+        "fll_vel": fll_vel, "fll_acc": fll_acc,
+        "pll_lock": pll_lock, "fll_lock": fll_lock,
         "lock_state": lock_state,
     }

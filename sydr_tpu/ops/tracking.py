@@ -333,10 +333,22 @@ def fll_atan(i_prompt, q_prompt, i_prompt_prev, q_prompt_prev, delta_t):
 
 
 def fll_atan2(i_prompt, q_prompt, i_prompt_prev, q_prompt_prev, delta_t):
-    """Four-quadrant cross/dot frequency discriminator [Hz]."""
+    """Four-quadrant cross/dot frequency discriminator [Hz].
+
+    ``theta = atan2(cross, dot)`` is the inter-epoch phase advance
+    (``P0* x P1 = A^2 e^{i theta}``); the decision-directed form
+    ``atan2(cross * sign(dot), |dot|)`` folds the 180-degree rotations that
+    nav-data bit flips cause into the half-cycle range, so the estimate
+    stays unbiased across bit boundaries. NOTE: deviates deliberately from
+    the reference's ``FLL_ATAN2`` (``dsp/tracking.py:146-152``), which
+    swaps the atan2 arguments and therefore reads ``pi/2 - theta`` — a
+    constant +250 Hz bias at 1 ms epochs that makes the loop settle a
+    quarter-cycle off (same policy as the repo's other spec-sign fixes).
+    """
     cross = i_prompt_prev * q_prompt - q_prompt_prev * i_prompt
     dot = i_prompt_prev * i_prompt + q_prompt_prev * q_prompt
-    return jnp.arctan2(dot, cross) / delta_t / TWO_PI
+    return jnp.arctan2(cross * jnp.sign(dot), jnp.abs(dot)) \
+        / delta_t / TWO_PI
 
 
 # ---------------------------------------------------------------------------
@@ -417,3 +429,40 @@ def cn0_beaulieu(ratio, n, t_int, previous, alpha=0.1):
     """Beaulieu-method C/N0 estimate, low-pass filtered [linear Hz]."""
     value = jnp.where(ratio > 0.0, n / ratio, 0.0) / t_int
     return low_pass(value, previous, alpha)
+
+
+def beaulieu_ratio_term(i_prompt, q_prompt, i_prompt_prev, q_prompt_prev):
+    """Per-epoch Beaulieu Pn/Pd ratio term accumulated over one data bit.
+
+    Falletti 2011: ``Pn = (|x_k| - |x_{k-1}|)^2 / 2`` (magnitude jitter
+    between consecutive prompts — data-bit insensitive) over
+    ``Pd = (|x_k|^2 + |x_{k-1}|^2) / 2``. NOTE: deviates deliberately from
+    the reference (``channel_l1ca_kaplan.py:485``), which accumulates
+    ``(iP^2+qP^2)/(|iP|-|qP|)^2`` — total power over a *signal*-power-like
+    denominator — into the Pn/Pd slot of ``CN0_Beaulieu``, so its estimate
+    saturates near 1/T (~17 dB-Hz) for any strong signal.
+    """
+    m1_sq = i_prompt**2 + q_prompt**2
+    m0_sq = i_prompt_prev**2 + q_prompt_prev**2
+    pn = (jnp.sqrt(m1_sq) - jnp.sqrt(m0_sq)) ** 2
+    pd = m1_sq + m0_sq
+    return jnp.where(pd > 0.0, pn / pd, 0.0)
+
+
+def cn0_update(cfg, bit_complete, ip_sum, qp_sum, ip_sq_sum, qp_sq_sum,
+               ratio_sum, prev_cn0, n_accum=20):
+    """Estimator-selected C/N0 [dB-Hz] refresh at bit completion.
+
+    ``cfg.cn0_estimator``: "nwpr" (default) or "beaulieu". The Beaulieu
+    low-pass runs in the linear domain (previous dB-Hz converted back), so
+    one state field serves both estimators.
+    """
+    if getattr(cfg, "cn0_estimator", "nwpr") == "beaulieu":
+        prev_lin = jnp.power(10.0, prev_cn0 / 10.0)
+        # lambda = n / sum(Pn/Pd) estimates the per-epoch SNR; C/N0 =
+        # SNR / T_coherent with T = 1 ms code periods.
+        lin = cn0_beaulieu(ratio_sum, float(n_accum), 1e-3, prev_lin)
+        new = 10.0 * jnp.log10(jnp.maximum(lin, 1e-12))
+    else:
+        new = cn0_nwpr(ip_sum, qp_sum, ip_sq_sum, qp_sq_sum)
+    return jnp.where(bit_complete, new, prev_cn0)

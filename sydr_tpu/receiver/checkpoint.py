@@ -123,6 +123,13 @@ def load_checkpoint(receiver, path: str) -> None:
     sess._tail_im = data["tail_im"]
     sess._hist_re = data["hist_re"]
     sess._hist_im = data["hist_im"]
+    # Re-seed the device acquisition ring from the host history (the ring
+    # mirrors it; resuming with zeros would let a pending channel search a
+    # silent window once).
+    import jax.numpy as _jnp
+
+    sess._ring_re = _jnp.asarray(data["hist_re"])
+    sess._ring_im = _jnp.asarray(data["hist_im"])
     sess.mode_host = np.array(data["mode_host"])
     sess.total_samples = int(manifest["total_samples"])
     sess.acq_results = {

@@ -108,6 +108,14 @@ class TrackingSession:
         hist = self.acq_cfg.required_ms * spms
         self._hist_re = np.zeros(hist, dtype=np.float32)
         self._hist_im = np.zeros(hist, dtype=np.float32)
+        # Device-resident acquisition ring: the PCPS search reads the last
+        # required_ms of samples straight from device memory (maintained by
+        # the packed block step from the samples already uploaded for
+        # tracking), so cold start re-uploads nothing. Measured on the dev
+        # tunnel: 37 ms device-resident vs 939 ms with host re-upload for a
+        # 12-channel search (docs/performance.md).
+        self._ring_re = jnp.zeros(hist, dtype=jnp.float32)
+        self._ring_im = jnp.zeros(hist, dtype=jnp.float32)
         # Device window tail (previous block's last tail_ms milliseconds).
         tail = cfg.tail_ms * spms
         self._tail_re = np.zeros(tail, dtype=np.float32)
@@ -173,8 +181,12 @@ class TrackingSession:
         k_im = np.stack([self._code_ffts[i][1] for i in pending])
         bins = acq.doppler_bins(self.acq_cfg.doppler_range,
                                 self.acq_cfg.doppler_step)
-        iq_re = np.broadcast_to(self._hist_re, (len(pending), need)).copy()
-        iq_im = np.broadcast_to(self._hist_im, (len(pending), need)).copy()
+        # Device-resident search: the sample history is already on device
+        # (maintained by the block step from the tracking upload); the
+        # zero-copy broadcast avoids the 50-ms float32 re-upload that
+        # dominated cold start on the dev tunnel (939 -> 37 ms).
+        iq_re = jnp.broadcast_to(self._ring_re[None, :], (len(pending), need))
+        iq_im = jnp.broadcast_to(self._ring_im[None, :], (len(pending), need))
         doppler, code_idx, metric, cmap = acq.acquire(
             (iq_re, iq_im),
             (k_re, k_im),
@@ -276,8 +288,10 @@ class TrackingSession:
         else:
             up_re, up_im = window_re, window_im
             inv_scale = np.float32(1.0)
-        self.state, packed_f, packed_i, keys_f, keys_i = self._packed_run(
-            self.state, jnp.asarray(up_re), jnp.asarray(up_im), inv_scale)
+        (self.state, packed_f, packed_i, self._ring_re, self._ring_im,
+         keys_f, keys_i) = self._packed_run(
+            self.state, jnp.asarray(up_re), jnp.asarray(up_im), inv_scale,
+            self._ring_re, self._ring_im)
         self.total_samples += expect
         tail = cfg.tail_ms * cfg.samples_per_ms
         self._tail_re = window_re[-tail:]
@@ -317,9 +331,21 @@ class TrackingSession:
                 cfg, self.mesh,
                 k_blocks=cfg.superblock if cfg.runtime == "batch" else 1)
 
-        def inner(state, wre, wim, inv_scale):
+        hist_n = self.acq_cfg.required_ms * cfg.samples_per_ms
+        tail_n = cfg.tail_ms * cfg.samples_per_ms
+
+        def roll_ring(ring, fresh):
+            if fresh.shape[0] >= hist_n:
+                return jax.lax.slice_in_dim(
+                    fresh, fresh.shape[0] - hist_n, fresh.shape[0])
+            return jnp.concatenate([ring[fresh.shape[0]:], fresh])
+
+        def inner(state, wre, wim, inv_scale, ring_re, ring_im):
             wre = wre.astype(jnp.float32) * inv_scale
             wim = wim.astype(jnp.float32) * inv_scale
+            # Acquisition ring: append the fresh (non-tail) samples.
+            ring_re = roll_ring(ring_re, wre[tail_n:])
+            ring_im = roll_ring(ring_im, wim[tail_n:])
             tables = bits3x if cfg.runtime == "batch" else codes
             if sharded_step is not None:
                 state, outputs = sharded_step(tables, state, wre, wim)
@@ -339,24 +365,27 @@ class TrackingSession:
             packed_f = jnp.stack([outputs[k] for k in keys["f"]], axis=-1)
             packed_i = jnp.stack(
                 [outputs[k].astype(jnp.int32) for k in keys["i"]], axis=-1)
-            return state, packed_f, packed_i
+            return state, packed_f, packed_i, ring_re, ring_im
 
         n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) \
             * cfg.samples_per_ms if cfg.superblock > 1 \
             else cfg.window_samples
         in_dtype = jnp.int8 if cfg.upload_int8 else jnp.float32
+        ring_s = jax.ShapeDtypeStruct((hist_n,), jnp.float32)
         jax.eval_shape(
             inner, self.state,
             jax.ShapeDtypeStruct((n_in,), in_dtype),
             jax.ShapeDtypeStruct((n_in,), in_dtype),
             jax.ShapeDtypeStruct((), jnp.float32),
+            ring_s, ring_s,
         )
         jitted = jax.jit(inner)
         keys_f, keys_i = keys["f"], keys["i"]
 
-        def run(state, wre, wim, inv_scale):
-            state2, pf, pi = jitted(state, wre, wim, inv_scale)
-            return state2, pf, pi, keys_f, keys_i
+        def run(state, wre, wim, inv_scale, ring_re, ring_im):
+            state2, pf, pi, ring_re, ring_im = jitted(
+                state, wre, wim, inv_scale, ring_re, ring_im)
+            return state2, pf, pi, ring_re, ring_im, keys_f, keys_i
 
         return run
 

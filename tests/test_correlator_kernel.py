@@ -45,9 +45,11 @@ import pytest
 
 
 @pytest.mark.parametrize("profile", ["borre", "kaplan"])
-def test_pallas_kernel_matches_xla_dense(profile):
+@pytest.mark.parametrize("quantize", [False, True])
+def test_pallas_kernel_matches_xla_dense(profile, quantize):
     cfg_args, bits3x, state, wre, wim = _setup()
     cfg_args["profile"] = profile
+    cfg_args["quantize_spacing"] = quantize
 
     cfg_xla = TrackingConfig(**cfg_args)
     st_x, out_x = batch_runtime.run_block_batched(

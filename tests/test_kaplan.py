@@ -74,3 +74,36 @@ def test_kaplan_lock_state_progression():
     reached = np.argmax(ls == LOCK_NARROW)
     assert reached > first_active
     assert (ls[reached:] == LOCK_NARROW).mean() > 0.9
+
+
+def test_kaplan_option_pack_3rd_order_atan2_beaulieu():
+    """The wired option pack: 3rd-order DLF (fll_acc state), atan2 FLL
+    discriminator, Beaulieu C/N0 — pulls in off-grid Doppler and produces a
+    sane C/N0 (reference dsp/tracking.py:283-325,
+    channel_l1ca_kaplan.py:465-502)."""
+    gen = IQGenerator(FS, noise=True, seed=5)
+    bits = np.random.default_rng(8).integers(0, 2, 300)
+    gen.add_satellite(9, doppler_hz=TRUE_DOPPLER, code_phase_chips=150.3,
+                      cn0_dbhz=46.0, nav_bits=bits)
+    cfg = TrackingConfig(
+        sampling_frequency=FS, block_ms=5, tail_ms=4,
+        window_size=4224, profile="kaplan", runtime="batch",
+        dlf_order=3, fll_discriminator="atan2", cn0_estimator="beaulieu",
+    )
+    session = TrackingSession(cfg, [9])
+    outs = []
+    for _ in range(4000 // cfg.block_ms):
+        iq = gen.generate_ms(cfg.block_ms)
+        outs.append(session.process_block(np.float32(iq.real),
+                                          np.float32(iq.imag)))
+    out = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    cf = out["carrier_freq"][-300:, 0]
+    assert abs(cf.mean() - TRUE_DOPPLER) < 3.0, cf.mean()
+    ls = out["lock_state"][-300:, 0]
+    assert (ls == LOCK_NARROW).mean() > 0.9
+    # 3rd-order DLF actually engaged: acceleration accumulator is live.
+    assert float(np.abs(np.asarray(session.state.fll_acc)[0])) > 0.0
+    # Beaulieu C/N0 settles within a few dB of the simulated 46 dB-Hz.
+    cn0 = out["cn0"][-200:, 0]
+    assert 40.0 < cn0.mean() < 52.0, cn0.mean()

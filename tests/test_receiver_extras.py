@@ -172,6 +172,7 @@ def test_report_generation(tmp_path):
                            "y": 1236113.0, "z": 5579645.0,
                            "clock_bias": 11.0, "n_satellites": 5,
                            "gdop": 2.1})
+    rx.timers.store(rx.db)
     from sydr_tpu.io.report import generate_report
 
     out = generate_report(rx.db, str(tmp_path / "report.html"),
@@ -182,6 +183,11 @@ def test_report_generation(tmp_path):
     assert "Tracking" in text
     assert "Position" in text
     assert "base64" in text
+    # Map tab (geodetic track + OSM link) and per-stage timing table
+    # (reference visualisation.py:643-879).
+    assert "openstreetmap.org" in text
+    assert "<h3>Map</h3>" in text
+    assert "Processing time" in text and "track_block" in text
     assert os.path.getsize(out) > 50_000  # embedded figures
     rx.db.close()
 

@@ -401,34 +401,39 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         )
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
+        prefix = ck.block_cumsum_streams(
+            wre_p, wim_p, words_p, fb_q, phic_q, scalars,
+            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
+            step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
+            shifts=prof.spacing_shifts(cfg),
+        )
         # Epochs are contiguous (b_end(e) == b_start(e+1); inactive epochs
         # consume nothing), so block_ms + 1 boundary picks suffice and each
-        # correlator is the difference of consecutive picks; the picks are
-        # extracted inside the kernel while the prefixes are
-        # register-resident (the full-prefix write was the measured ~27
-        # ms/s HBM floor; the XLA take_along_axis gather ~4 ms/s more —
-        # docs/performance.md).
+        # correlator is the difference of consecutive picks. XLA lowers
+        # take_along_axis to a serial per-index loop, so fewer picks
+        # matter. NOTE: ten structural alternatives to this full-prefix +
+        # gather form were built and trace-profiled on chip in round 2 —
+        # row sums + XLA edge partials, three in-kernel boundary-pick
+        # schemes, 8-sample-granule prefixes in three output layouts —
+        # and every one measured SLOWER than paying the 188 MB prefix
+        # write (docs/performance.md has the numbers).
         req_eff = jnp.where(geo["active"], geo["required"], 0)
         b_start = jnp.clip(geo["b_start"] + base[None, :], 0, n_win)
         last_end = jnp.clip(
             b_start[-1:] + req_eff[-1:], 0, n_win)        # [1, n_ch]
         bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
-        bounds_t = jnp.transpose(bounds).astype(jnp.int32)
-        n_bounds = cfg.block_ms + 1
-        n_sub_tot = (n_win + pad) // ck.CHUNK
-        slots, src = ck.make_bound_slots(bounds_t, n_sub_tot, n_bounds)
-        picks = ck.block_boundary_sums(
-            wre_p, wim_p, words_p, fb_q, phic_q, scalars, slots,
-            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-            step0=step0, n_win=n_win, n_bounds=n_bounds,
-            interpret=cfg.pallas_interpret,
-            shifts=prof.spacing_shifts(cfg),
-        )
-        # Duplicate bounds (inactive epochs) share the unique bound's pick.
-        picks = jnp.take_along_axis(picks, src[:, :, None], axis=1)
-        s_at = picks[..., :n_streams]                     # [n_ch, bm+1, S]
-        corr = s_at[:, 1:] - s_at[:, :-1]                 # [n_ch, bm, S]
-        return jnp.transpose(corr, (1, 0, 2))
+        # inclusive prefix: sum[b0, b1) = P[b1-1] - P[b0-1], P[-1] = 0
+        valid = (bounds > 0)
+        idxs_c = jnp.clip(bounds - 1, 0, prefix.shape[-1] - 1)
+        flat = jnp.transpose(idxs_c, (1, 0)).reshape(n_ch, 1, -1)
+        vflat = jnp.transpose(valid, (1, 0)).reshape(n_ch, 1, -1)
+        picked = jnp.take_along_axis(
+            prefix,
+            jnp.broadcast_to(flat, (n_ch, n_streams, flat.shape[-1])),
+            axis=-1,
+        ) * vflat
+        corr = picked[:, :, 1:] - picked[:, :, :-1]
+        return jnp.transpose(corr, (2, 0, 1))
 
     # --- Dense mix (via the shared slice helper) ---------------------------
     streams_arr = dense_streams(

@@ -1,12 +1,21 @@
 """Fused Pallas correlation kernel for the batched tracking runtime.
 
-Computes the running cumulative sums of the six correlation streams
-(E/P/L x I/Q) over a whole block of IQ samples for all channels in one fused
-kernel — carrier generation, mixing, chip reconstruction and prefix
-summation never touch HBM between steps. This replaces the XLA dense pass of
-``sydr_tpu.channels.batch_runtime`` whose ~35 materialised [n_ch, n_win]
-intermediates made it HBM-bound (~38 ms/100 ms block); the kernel's traffic
-is the window read (shared), the word tables, and one float32 cumsum write.
+Computes the running cumulative sums of the six-to-ten correlation streams
+(E/P/L x I/Q) over a whole block of IQ samples for all channels in one
+fused kernel — carrier generation, mixing, chip reconstruction and prefix
+summation never touch HBM between steps. This replaces the reference C
+tracking kernel (``/root/reference/sydr/c_functions/tracking.c:69-96``)
+and the XLA dense pass of ``sydr_tpu.channels.batch_runtime`` (HBM-bound
+at ~35 materialised [n_ch, n_win] intermediates).
+
+The full-prefix output + XLA boundary gather IS the measured optimum on
+this backend: ten structural alternatives (row sums + XLA edge partials;
+per-bound `pl.when`, slot-table, and branchless in-kernel picks;
+8-sample-granule prefixes in narrow-lane, 2-D, and stream-interleaved
+layouts) were all built and trace-profiled on chip in round 2, and every
+one measured slower — Mosaic's scheduling prices extra small matmuls,
+scalar branches, and register-resident prefix liveness above the 188 MB
+prefix write they save (docs/performance.md has the numbers).
 
 Chip reconstruction inside the kernel (no gathers — Mosaic on this backend
 supports none):
@@ -14,10 +23,11 @@ supports none):
     per-millisecond anchors ``fb_q``/``phic_q`` carry float32 precision;
   * each 128-lane row lies in at most two 128-sample chip groups, so the
     per-group packed code word is selected with one lane-threshold select
-    from two per-row scalars (built per chunk from a 36-word slice with a
-    tiny one-hot);
+    from two per-row scalars picked by lane one-hot matmuls;
   * the chip is the ``l``-th bit of the word, extracted arithmetically via
-    an exponent-field bitcast (2^-l), floor and an FMA.
+    an exponent-field bitcast (2^-l), floor and an FMA — or, with
+    sample-quantised spacings, reconstructed once at the base spacing and
+    lane-rolled to the other taps.
 
 Constraints: group size 128 (sampling rate >= ~6.9 Msps); the XLA dense path
 remains the fallback (and the CPU/interpret test oracle).
@@ -194,29 +204,17 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     return streams
 
 
-def _kernel(spacings, spms, n_q, local, step0, n_win, n_bounds, shifts,
-            sc_ref, fbq_ref, phq_ref, bounds_ref, win_re_ref, win_im_ref,
-            words_ref, out_ref, carry_ref):
-    """Grid (n_ch, n_super); out block = (1, n_bounds, OUTL) prefix picks.
-
-    ``out[0, j, s]`` = inclusive prefix of stream ``s`` at window sample
-    ``bounds[c, j] - 1`` (0 when the bound is 0). The prefixes live only in
-    registers: the epoch boundary values are extracted in-kernel with two
-    tiny one-hot matmuls per boundary, so the kernel writes 22 KB instead
-    of the 188 MB full prefix — the measured ~27 ms/s HBM-write floor of
-    the full-prefix variant (docs/performance.md) disappears, as does the
-    XLA ``take_along_axis`` boundary gather.
-    """
+def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
+            sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
+            out_ref, carry_ref):
+    """Grid (n_ch, n_super); out block = (1, 6, SUPER*CHUNK) running prefix."""
     c = pl.program_id(0)
     ks = pl.program_id(1)
-    n_streams = 2 * len(spacings)
-    outl = -(-n_streams // 8) * 8
 
     @pl.when(ks == 0)
     def _():
         for i in range(16):
             carry_ref[0, i] = 0.0
-        out_ref[...] = jnp.zeros_like(out_ref)
 
     # strict-lower-triangular matrix for row-prefix accumulation
     tri = (
@@ -238,8 +236,6 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, n_bounds, shifts,
           sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
           shifts=shifts,
       )
-      prefixes = []
-      row_tots = []
       for out_idx, s in enumerate(streams):
           # bf16 inputs, f32 accumulation: 4x MXU rate; the per-sample
           # rounding (2^-9 relative) is ~-48 dB against the thermal noise
@@ -252,112 +248,38 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, n_bounds, shifts,
           # strict-lower triangular matmul: prefix of previous row totals
           row_pref = jnp.dot(tri, row_tot,
                              preferred_element_type=jnp.float32)
-          prefixes.append(cs_row + row_pref)
-          row_tots.append(row_tot)
-
-      # Boundary picks while the prefixes are register-resident. The slot
-      # table (built in XLA) lists the at-most-2 boundaries landing in this
-      # sub-chunk, so the fast path tests only two scalars — per-bound
-      # branches (84/grid-step) measured as a pipeline-serialising
-      # regression.
-      col_o = jax.lax.broadcasted_iota(jnp.int32, (1, outl), 1)
-      for slot in range(2):
-          v = bounds_ref[c, 2 * k + slot]
-
-          @pl.when(v >= 0)
-          def _(v=v, prefixes=prefixes):
-              j = v >> 13
-              r = (v >> 7) & 63
-              l = v & 127
-              oh_r = (jax.lax.broadcasted_iota(jnp.int32, (1, ROWS), 1)
-                      == r).astype(jnp.float32)
-              oh_l = (jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-                      == l).astype(jnp.float32)
-              row = jnp.zeros((1, outl), jnp.float32)
-              for t in range(n_streams):
-                  rv = jnp.dot(oh_r, prefixes[t],
-                               preferred_element_type=jnp.float32)
-                  pick = jnp.dot(rv, oh_l,
-                                 preferred_element_type=jnp.float32)
-                  row = row + jnp.where(
-                      col_o == t, pick[0, 0] + carry_ref[0, t], 0.0)
-              out_ref[0, pl.ds(j, 1), :] = row.reshape(1, outl)
-
-      for out_idx in range(n_streams):
-          carry_ref[0, out_idx] = (
-              carry_ref[0, out_idx] + jnp.sum(row_tots[out_idx]))
-
-
-def make_bound_slots(bounds_t, n_sub_tot, n_bounds):
-    """XLA-side slot table + dedupe map for the in-kernel boundary picks.
-
-    Args:
-        bounds_t: ``[n_ch, n_bounds]`` int32 ascending window-sample
-            boundary positions (0 = invalid; inactive epochs repeat the
-            previous bound).
-
-    Returns ``(slots, src)``: ``slots`` ``[n_ch, (n_sub_tot + 1) * 2]``
-    int32 — per sub-chunk ``k`` the packed ``(j << 13 | row << 7 | lane)``
-    of up to two unique bounds landing in it (-1 = empty; consecutive
-    unique bounds are >= ~samples_per_ms apart so two slots suffice) —
-    and ``src`` ``[n_ch, n_bounds]`` mapping every bound to the unique
-    bound whose pick it shares (0-picks for leading invalid bounds).
-    """
-    n_ch = bounds_t.shape[0]
-    g = bounds_t - 1
-    uniq = jnp.concatenate(
-        [jnp.ones_like(bounds_t[:, :1], bool),
-         bounds_t[:, 1:] != bounds_t[:, :-1]], axis=1) & (bounds_t > 0)
-    k_of = jnp.where(uniq, g // CHUNK, -1)
-    lg = g - (g // CHUNK) * CHUNK
-    jidx = jnp.arange(n_bounds, dtype=jnp.int32)
-    packed = (jidx[None, :] << 13) | ((lg >> 7) << 7) | (lg & 127)
-    # within-chunk occurrence index (0 or 1)
-    same = (k_of[:, :, None] == k_of[:, None, :]) \
-        & (jidx[None, None, :] < jidx[None, :, None]) \
-        & (k_of[:, None, :] >= 0)
-    slot = jnp.sum(same, axis=2).astype(jnp.int32)
-    k_safe = jnp.where(uniq, k_of, n_sub_tot)
-    slots = jnp.full((n_ch, n_sub_tot + 1, 2), -1, jnp.int32)
-    ch = jnp.broadcast_to(jnp.arange(n_ch)[:, None], k_safe.shape)
-    slots = slots.at[ch, k_safe, jnp.clip(slot, 0, 1)].set(
-        jnp.where(uniq, packed, -1))
-    src = jnp.maximum(
-        jax.lax.cummax(jnp.where(uniq, jidx[None, :], -1), axis=1), 0)
-    return slots.reshape(n_ch, -1), src
+          prefix = cs_row + row_pref
+          carry = carry_ref[0, out_idx]
+          out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
+              prefix + carry
+          ).reshape(CHUNK)
+          carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
-                     "n_bounds", "interpret", "shifts"),
+                     "interpret", "shifts"),
 )
-def block_boundary_sums(
-    window_re, window_im, words, fb_q, phic_q, scalars, slots,
-    *, spacings, spms, n_q, local, step0, n_win, n_bounds, interpret=False,
+def block_cumsum_streams(
+    window_re, window_im, words, fb_q, phic_q, scalars,
+    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
     shifts=None,
 ):
-    """Inclusive stream-prefix values at the epoch boundary samples.
+    """Running prefix sums of the six correlation streams.
 
     Args:
         window_re/im: ``[n_win_pad]`` float32 (padded to CHUNK multiple).
         words: ``[n_ch, C0I_ROWS, G]`` packed code words (G >= 128).
         fb_q, phic_q: ``[n_ch, n_q]`` per-ms code/carrier phase anchors.
         scalars: ``[n_ch, 8]`` per-channel (omega, code_step, ...).
-        slots: ``[n_ch, (n_sub + 1) * 2]`` int32 per-sub-chunk bound slot
-            table (``make_bound_slots``).
 
-    Returns ``[n_ch, n_bounds, OUTL]`` float32: ``out[c, j, s]`` is the
-    inclusive prefix of stream ``s`` over samples ``[0, bound_j)`` for the
-    unique bounds listed in ``slots`` (other rows stay 0 — resolve with
-    the ``src`` dedupe map); each epoch correlator is the difference of
-    consecutive resolved picks (streams ordered spacing-major I then Q;
-    lanes >= 2*len(spacings) are zero padding).
+    Returns ``[n_ch, 6, n_win_pad]`` float32 INCLUSIVE prefixes:
+    ``out[..., i]`` = sum of the stream over samples [0, i].
     """
     n_ch = words.shape[0]
     g_dim = words.shape[2]
     n_streams = 2 * len(spacings)
-    outl = -(-n_streams // 8) * 8
     n_win_pad = window_re.shape[0]
     assert n_win_pad % CHUNK == 0
     assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
@@ -366,7 +288,7 @@ def block_boundary_sums(
     win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
 
     kern = functools.partial(
-        _kernel, spacings, spms, n_q, local, step0, n_win, n_bounds, shifts
+        _kernel, spacings, spms, n_q, local, step0, n_win, shifts
     )
     in_specs = [
         pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
@@ -374,8 +296,6 @@ def block_boundary_sums(
         pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
-                     memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, slots.shape[1]), lambda c, k: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -388,11 +308,11 @@ def block_boundary_sums(
         kern,
         grid=(n_ch, n_super),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_bounds, outl),
-                               lambda c, k: (c, 0, 0),
+        out_specs=pl.BlockSpec((1, n_streams, SUPER * CHUNK),
+                               lambda c, k: (c, 0, k),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_ch, n_bounds, outl),
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, n_win_pad),
                                        jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
         interpret=interpret,
-    )(scalars, fb_q, phic_q, slots, win2, win2i, words)
+    )(scalars, fb_q, phic_q, win2, win2i, words)

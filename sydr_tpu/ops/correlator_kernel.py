@@ -128,12 +128,31 @@ def _sub_streams(spacings, spms, n_q, local, step0,
         # log-reductions on the VPU
         lane_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
         wrow_col = wrow.reshape(128, 1)
+        # EXACTNESS: the picked words are up-to-24-bit integers, but the
+        # backend's default matmul precision is a single bf16 pass (a
+        # silent backend change mid-round-2 turned every chip correlator
+        # to noise, while Precision.HIGHEST costs ~6 passes and halved
+        # RTF). Split the word into three byte planes — 0..255 integers
+        # are bf16-exact, the one-hot is 0/1, accumulation is f32 — so a
+        # single default-precision dot stays bit-exact; recombination is
+        # an exact f32 weighted lane reduction.
+        b2 = jnp.floor(wrow_col * (1.0 / 65536.0))
+        rem = wrow_col - b2 * 65536.0
+        b1 = jnp.floor(rem * (1.0 / 256.0))
+        b0 = rem - b1 * 256.0
+        w_bytes = jnp.concatenate(
+            [b2, b1, b0, jnp.zeros((128, 5), jnp.float32)], axis=1)
+        lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        scale = jnp.where(
+            lane8 == 0, 65536.0,
+            jnp.where(lane8 == 1, 256.0,
+                      jnp.where(lane8 == 2, 1.0, 0.0)))
         oh_lo = (lane_r == grp_abs).astype(jnp.float32)
         oh_hi = (lane_r == grp_abs + 1).astype(jnp.float32)
-        w_lo = jnp.dot(oh_lo, wrow_col,
-                       preferred_element_type=jnp.float32)
-        w_hi = jnp.dot(oh_hi, wrow_col,
-                       preferred_element_type=jnp.float32)
+        p_lo = jnp.dot(oh_lo, w_bytes, preferred_element_type=jnp.float32)
+        p_hi = jnp.dot(oh_hi, w_bytes, preferred_element_type=jnp.float32)
+        w_lo = jnp.sum(p_lo * scale, axis=1, keepdims=True)
+        w_hi = jnp.sum(p_hi * scale, axis=1, keepdims=True)
         lam = 128 - (l0 & 127)
         return c0i, w_lo, w_hi, lam
 
@@ -246,6 +265,8 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
                            preferred_element_type=jnp.float32)
           row_tot = cs_row[:, 127:128]
           # strict-lower triangular matmul: prefix of previous row totals
+          # default (single-pass) precision: row_tot is noise-dominated
+          # float data; the bf16 rounding here is ~-48 dB like cs_row's
           row_pref = jnp.dot(tri, row_tot,
                              preferred_element_type=jnp.float32)
           prefix = cs_row + row_pref

@@ -1,0 +1,81 @@
+"""Four-way numeric parity on the real chip: run after ANY backend restart.
+
+dense-on-CPU (truth) vs dense-on-TPU vs pallas-chip vs pallas-interpret.
+Interpret mode alone cannot catch Mosaic lowering changes: a silent
+backend update once dropped the default in-kernel matmul precision to
+bf16 and corrupted every chip correlator while all CPU tests stayed
+green (docs/performance.md, "Chip-parity discipline").
+
+Usage: env PYTHONPATH=/root/repo python tools/chip_parity.py
+Expected: dense-tpu == 0, pallas-chip == pallas-interp (~0.098, the
+designed bf16 prefix rounding).
+"""
+import os, sys, subprocess, dataclasses
+import numpy as np
+
+SETUP = '''
+import sys, dataclasses
+import numpy as np
+import jax, jax.numpy as jnp
+from sydr_tpu.channels import batch_runtime as br
+from sydr_tpu.channels.runtime import TrackingConfig
+from sydr_tpu.channels.state import MODE_TRACKING, init_state
+from sydr_tpu.signal.synthetic import IQGenerator
+
+FS = 10e6
+prns = [5, 12, 21]
+dops = [1200.0, -2600.0, 3900.0]
+gen = IQGenerator(FS, noise=True, seed=4)
+for prn, dop in zip(prns, dops):
+    gen.add_satellite(prn, doppler_hz=dop, code_phase_chips=100.0,
+                      cn0_dbhz=48.0)
+iq = gen.generate_ms(9)
+wre = jnp.asarray(np.float32(iq.real))
+wim = jnp.asarray(np.float32(iq.imag))
+state = init_state(3)
+state = dataclasses.replace(
+    state,
+    mode=jnp.full((3,), MODE_TRACKING, jnp.int32),
+    carrier_freq=jnp.asarray(np.float32(dops)),
+    rem_code=jnp.asarray(np.float32([0.02, 0.7, 0.4])),
+    rem_carrier=jnp.asarray(np.float32([0.3, 2.1, 5.0])),
+    code_freq_offset=jnp.asarray(np.float32([0.5, -1.2, 2.0])),
+    unread=jnp.asarray(np.int32([11000, 14000, 12345])),
+)
+bits3x = jnp.asarray(br.tiled_code_bits(prns))
+def corr_of(cfg):
+    st, out = br.run_block_batched(cfg, bits3x, state, wre, wim)
+    return np.stack([np.asarray(out[k]) for k in
+                     ("i_early","q_early","i_prompt","q_prompt",
+                      "i_late","q_late")])
+args = dict(sampling_frequency=FS, block_ms=5, tail_ms=4,
+            window_size=10240, runtime="batch", profile="borre")
+'''
+
+# CPU truth in a subprocess
+cpu_code = SETUP + '''
+jax.config.update("jax_platforms", "cpu")
+np.save("/tmp/parity_cpu.npy", corr_of(TrackingConfig(**args)))
+print("cpu done")
+'''
+subprocess.run([sys.executable, "-c", cpu_code],
+               env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
+
+# TPU variants
+exec(SETUP)
+import jax  # noqa
+print("devices:", jax.devices(), flush=True)
+ref = np.load("/tmp/parity_cpu.npy")
+for name, cfg in (
+    ("dense-tpu", TrackingConfig(**args)),
+    ("pallas-chip", TrackingConfig(**args, use_pallas=True)),
+    ("pallas-interp-tpu", TrackingConfig(**args, use_pallas=True,
+                                         pallas_interpret=True)),
+):
+    try:
+        got = corr_of(cfg)
+        err = np.max(np.abs(got - ref) / (np.abs(ref) + 1.0))
+        print(f"{name}: max rel err vs CPU truth = {err:.5f}", flush=True)
+    except Exception as e:
+        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+              flush=True)

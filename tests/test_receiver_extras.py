@@ -374,3 +374,33 @@ def test_rinex_mixed_constellation_read(tmp_path):
     assert {(e.system, e.prn) for e in both} == {("G", 7), ("E", 11)}
     gal_eph = [e for e in both if e.system == "E"][0]
     assert gal_eph.iodc == 0 and gal_eph.sqrt_a == pytest.approx(5153.672)
+
+
+def test_device_acquisition_ring_mirrors_host_history():
+    """The device-resident acquisition ring must hold the same samples the
+    host history does (modulo the int8 upload quantisation), since PCPS
+    cold start reads the ring instead of re-uploading the history."""
+    from sydr_tpu.channels.runtime import TrackingConfig
+    from sydr_tpu.receiver.session import AcquisitionConfig, TrackingSession
+
+    fs = 4e6
+    cfg = TrackingConfig(sampling_frequency=fs, block_ms=20, tail_ms=4,
+                         window_size=4224, runtime="batch", superblock=2)
+    acq_cfg = AcquisitionConfig(coherent=2, non_coherent=3,
+                                threshold=1e9)  # never hand off
+    session = TrackingSession(cfg, [5], acq_cfg)
+    rng = np.random.default_rng(0)
+    chunk = cfg.superblock * cfg.block_ms * cfg.samples_per_ms
+    for _ in range(3):
+        re = rng.standard_normal(chunk).astype(np.float32)
+        im = rng.standard_normal(chunk).astype(np.float32)
+        session.process_block(re, im)
+    ring = np.asarray(session._ring_re)
+    hist = session._hist_re
+    assert ring.shape == hist.shape
+    # Sample-exact alignment (any offset would decorrelate noise samples).
+    assert np.corrcoef(ring, hist)[0, 1] > 0.999
+    # Values differ only by the int8 upload quantisation; the scale is
+    # per-block over the whole window, so bound with 2x the history LSB.
+    lsb = np.max(np.abs(hist)) / 120.0
+    np.testing.assert_allclose(ring, hist, atol=2.0 * lsb)

@@ -71,7 +71,12 @@ for name, cfg in (
     ("pallas-chip", TrackingConfig(**args, use_pallas=True)),
     ("pallas-interp-tpu", TrackingConfig(**args, use_pallas=True,
                                          pallas_interpret=True)),
+    # quantized taps: compare against the QUANTIZED dense path (own truth)
+    ("pallas-chip-quant", TrackingConfig(**args, use_pallas=True,
+                                         quantize_spacing=True)),
 ):
+    if name == "pallas-chip-quant":
+        ref = corr_of(TrackingConfig(**args, quantize_spacing=True))
     try:
         got = corr_of(cfg)
         err = np.max(np.abs(got - ref) / (np.abs(ref) + 1.0))

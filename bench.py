@@ -39,6 +39,9 @@ SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
 # Sample-quantised correlator taps (hardware-correlator semantics): E/L
 # chips are whole-sample shifts of one base chip stream.
 QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
+# Pallas boundary extraction: "prefix" (full per-sample prefix + gather) or
+# "rowsum" (row-level prefix + dense XLA edge recompute).
+BOUNDARY = os.environ.get("BENCH_BOUNDARY", "prefix")
 
 
 def bench_tracking():
@@ -58,6 +61,7 @@ def bench_tracking():
         use_pallas=USE_PALLAS,
         superblock=SUPERBLOCK if RUNTIME == "batch" else 1,
         quantize_spacing=QUANTIZE,
+        boundary_mode=BOUNDARY,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)

@@ -354,6 +354,140 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
     return jnp.stack(streams, axis=1)
 
 
+def _rowsum_boundary_prefix(cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
+                            omega, code_step, bounds, spacings_eff, shifts,
+                            spms, n_q, local, step0):
+    """Inclusive stream prefixes ``P(b) = sum over samples [0, b)`` at every
+    epoch boundary, from the row-level kernel output.
+
+    ``P(b) = rowpref[b//128 - 1] + partial(row b//128, lanes < b%128)``; the
+    partial recomputes the boundary-straddling row's streams densely with
+    the kernel's exact chip/carrier arithmetic. Every pick is a one-hot
+    einsum / select-sum — no serial XLA gathers anywhere (the failure mode
+    of the round-2 "row sums + XLA edge partials" variant).
+
+    Args:
+        rowpref: ``[n_ch, n_rows, n_streams]`` row-level inclusive prefix
+            (streams minor — the kernel's native store layout).
+        bounds: ``[n_ch, B]`` boundary sample indices in window coords.
+
+    Returns ``[n_ch, n_streams, B]`` float32.
+    """
+    n_ch, B = bounds.shape
+    n_rows = rowpref.shape[1]
+    GS = 128
+    rb = bounds // GS
+    t = bounds - rb * GS
+    hp = jax.lax.Precision.HIGHEST  # one-hot picks: exact (single term)
+
+    iota_r = jnp.arange(n_rows, dtype=jnp.int32)
+    oh_prev = (iota_r[None, None, :] == (rb - 1)[..., None]).astype(
+        jnp.float32)                       # rb == 0 -> empty -> 0
+    pick_rows = jnp.einsum('cbn,cns->csb', oh_prev, rowpref, precision=hp)
+
+    win2 = wre_p.reshape(-1, GS)[:n_rows]
+    wim2 = wim_p.reshape(-1, GS)[:n_rows]
+    oh_row = (iota_r[None, None, :] == rb[..., None]).astype(jnp.float32)
+    g_re = jnp.einsum('cbn,nl->cbl', oh_row, win2, precision=hp)
+    g_im = jnp.einsum('cbn,nl->cbl', oh_row, wim2, precision=hp)
+
+    lane = jnp.arange(GS, dtype=jnp.int32)
+    iota_q = jnp.arange(n_q, dtype=jnp.int32)
+    m0 = rb * GS
+
+    def runsel(m0k):
+        """Per-ms run split of one row — the kernel's sub-chunk logic."""
+        q0 = jnp.clip(m0k // spms, 0, n_q - 1)
+        q1 = jnp.minimum(q0 + 1, n_q - 1)
+        ms_next = (q0 + 1) * spms
+        m = m0k[..., None] + lane[None, None, :]
+        in_q1 = m >= ms_next[..., None]
+        lm = jnp.where(in_q1, m - ms_next[..., None],
+                       m - (q0 * spms)[..., None])
+        return q0, q1, ms_next, in_q1, lm
+
+    def pick_q(tab, q):
+        oh = (iota_q[None, None, :] == q[..., None]).astype(tab.dtype)
+        return jnp.sum(oh * tab[:, None, :], axis=-1)
+
+    q0, q1, _, in_q1, lm = runsel(m0)
+    ph0 = pick_q(phic_q, q0)
+    ph1 = pick_q(phic_q, q1)
+    phase = jnp.where(in_q1, ph1[..., None], ph0[..., None]) \
+        - omega[:, None, None] * lm.astype(jnp.float32)
+    cosv, sinv = jnp.cos(phase), jnp.sin(phase)
+    mre = cosv * g_re - sinv * g_im
+    mim = cosv * g_im + sinv * g_re
+
+    G = words.shape[-1]
+    iota_g = jnp.arange(G, dtype=jnp.int32)
+
+    def words_for_run(fb_s, q_start_m, m0k):
+        c0i = jnp.floor(fb_s).astype(jnp.int32)
+        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
+        wrow = jnp.zeros((n_ch, B, G), jnp.float32)
+        for v in range(C0I_ROWS):
+            wrow = wrow + jnp.where(
+                (rowsel == v)[..., None], words[:, None, v, :], 0.0)
+        l0 = m0k - q_start_m
+        grp = l0 >> 7                       # arithmetic shift: floor
+        w_lo = jnp.sum(jnp.where(
+            iota_g[None, None, :] == grp[..., None], wrow, 0.0), -1)
+        w_hi = jnp.sum(jnp.where(
+            iota_g[None, None, :] == grp[..., None] + 1, wrow, 0.0), -1)
+        lam = GS - (l0 & (GS - 1))
+        return c0i, w_lo, w_hi, lam
+
+    def chips_at(tap_sp, k):
+        """Chip values of the boundary row, shifted forward ``k`` samples
+        (``chip[m + k]`` — identical semantics to the kernel's lane roll /
+        ``dense_streams``' slice)."""
+        m0k = m0 + k
+        q0k, q1k, msnk, inq1k, lmk = runsel(m0k)
+        fb0 = pick_q(fb_q, q0k)
+        fb1 = pick_q(fb_q, q1k)
+        c0a, wloa, whia, lama = words_for_run(fb0 + tap_sp, q0k * spms, m0k)
+        c0b, wlob, whib, lamb = words_for_run(fb1 + tap_sp, msnk, m0k)
+        w_a = jnp.where(lane[None, None, :] >= lama[..., None],
+                        whia[..., None], wloa[..., None])
+        w_b = jnp.where(lane[None, None, :] >= lamb[..., None],
+                        whib[..., None], wlob[..., None])
+        w = jnp.where(inq1k, w_b, w_a)
+        r_el = jnp.where(inq1k, (fb1 + tap_sp)[..., None],
+                         (fb0 + tap_sp)[..., None])
+        c0el = jnp.where(inq1k, c0b[..., None], c0a[..., None])
+        cs0v = jnp.floor((lmk >> 7).astype(jnp.float32)
+                         * (GS * step0)).astype(jnp.int32)
+        idxf = jnp.ceil(
+            r_el + lmk.astype(jnp.float32) * code_step[:, None, None]
+        ).astype(jnp.int32)
+        l = jnp.clip(idxf - c0el + 2 - cs0v, 0, local - 1)
+        p2 = jax.lax.bitcast_convert_type(
+            ((127 - l) << 23).astype(jnp.int32), jnp.float32)
+        tt = w * p2
+        bit = jnp.floor(tt) - 2.0 * jnp.floor(tt * 0.5)
+        return 2.0 * bit - 1.0
+
+    if shifts is not None:
+        base_sp, ks = shifts
+        chip_list = [chips_at(base_sp, k) for k in ks]
+    else:
+        chip_list = [chips_at(sp, 0) for sp in spacings_eff]
+
+    mask = (lane[None, None, :] < t[..., None]).astype(jnp.float32)
+    parts = []
+    for chips in chip_list:
+        # bf16 round-trip: the kernel's matmul products are bf16(s) * 1.0
+        # accumulated in f32 — mirror that so P(b) is consistent with the
+        # interior row totals.
+        s_re = (chips * mre).astype(jnp.bfloat16).astype(jnp.float32)
+        s_im = (chips * mim).astype(jnp.bfloat16).astype(jnp.float32)
+        parts.append(jnp.sum(s_re * mask, -1))
+        parts.append(jnp.sum(s_im * mask, -1))
+    partial = jnp.stack(parts, axis=1)
+    return pick_rows + partial
+
+
 def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
             window_re, window_im):
     """Correlators ``[block_ms, n_ch, 6]`` for the whole block.
@@ -401,27 +535,50 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         )
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
-        prefix = ck.block_cumsum_streams(
-            wre_p, wim_p, words_p, fb_q, phic_q, scalars,
-            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-            step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
-            shifts=prof.spacing_shifts(cfg),
-        )
+        shifts = prof.spacing_shifts(cfg)
         # Epochs are contiguous (b_end(e) == b_start(e+1); inactive epochs
         # consume nothing), so block_ms + 1 boundary picks suffice and each
-        # correlator is the difference of consecutive picks. XLA lowers
-        # take_along_axis to a serial per-index loop, so fewer picks
-        # matter. NOTE: ten structural alternatives to this full-prefix +
-        # gather form were built and trace-profiled on chip in round 2 —
-        # row sums + XLA edge partials, three in-kernel boundary-pick
-        # schemes, 8-sample-granule prefixes in three output layouts —
-        # and every one measured SLOWER than paying the 188 MB prefix
-        # write (docs/performance.md has the numbers).
+        # correlator is the difference of consecutive picks.
         req_eff = jnp.where(geo["active"], geo["required"], 0)
         b_start = jnp.clip(geo["b_start"] + base[None, :], 0, n_win)
         last_end = jnp.clip(
             b_start[-1:] + req_eff[-1:], 0, n_win)        # [1, n_ch]
         bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
+
+        if cfg.boundary_mode == "rowsum":
+            # Row-level prefix (~1/128 the HBM write of the full-prefix
+            # kernel) + dense XLA recompute of the boundary-straddling
+            # rows — one-hot einsum picks, no serial gathers.
+            rowpref = ck.block_rowsum_streams(
+                wre_p, wim_p, words_p, fb_q, phic_q, scalars,
+                spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
+                step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
+                shifts=shifts,
+            )
+            picked = _rowsum_boundary_prefix(
+                cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
+                omega, code_step, jnp.transpose(bounds, (1, 0)),
+                spacings_eff, shifts, spms, n_q, local, step0,
+            )                                  # [n_ch, n_streams, bm+1]
+            corr = picked[:, :, 1:] - picked[:, :, :-1]
+            return jnp.transpose(corr, (2, 0, 1))
+
+        # boundary_mode == "prefix": full per-sample prefix + XLA gather.
+        # XLA lowers take_along_axis to a serial per-index loop, so fewer
+        # picks matter. NOTE: ten structural alternatives to this
+        # full-prefix + gather form were built and trace-profiled on chip
+        # in round 2 — row sums + XLA edge partials, three in-kernel
+        # boundary-pick schemes, 8-sample-granule prefixes in three output
+        # layouts — and every one measured SLOWER than paying the 188 MB
+        # prefix write (docs/performance.md has the numbers). The round-2
+        # "rowsum" mode above (Pallas row totals + gather-free XLA edges)
+        # is the eleventh attempt.
+        prefix = ck.block_cumsum_streams(
+            wre_p, wim_p, words_p, fb_q, phic_q, scalars,
+            spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
+            step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
+            shifts=shifts,
+        )
         # inclusive prefix: sum[b0, b1) = P[b1-1] - P[b0-1], P[-1] = 0
         valid = (bounds > 0)
         idxs_c = jnp.clip(bounds - 1, 0, prefix.shape[-1] - 1)

@@ -136,6 +136,16 @@ class TrackingConfig:
     # single base chip stream instead of three per-spacing reconstructions.
     quantize_spacing: bool = False
     epl_method: str = "bitpack"
+    # Pallas-path boundary extraction:
+    #   "prefix" — the kernel writes the full per-sample prefix of every
+    #     stream to HBM (~188 MB/block at the product shape) and epoch sums
+    #     are picked with take_along_axis.
+    #   "rowsum" — the kernel writes only a 128-sample-row-level prefix
+    #     (~1.5 MB/block) and the <= block_ms+1 boundary-straddling rows per
+    #     channel are recomputed densely in XLA (one-hot einsum picks — no
+    #     serial gathers), trading ~2% redundant compute for the dominant
+    #     HBM prefix write.
+    boundary_mode: str = "prefix"
 
     @property
     def samples_per_ms(self) -> int:

@@ -277,6 +277,118 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
           carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
 
 
+def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
+                   sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
+                   words_ref, out_ref, carry_ref):
+    """Row-level variant: out block = (1, SUPER*ROWS, n_streams) inclusive
+    prefix of the per-128-sample-row totals, streams minor — sublane-aligned
+    stores, ~1/21 the HBM write volume of the full-prefix kernel (the 6-lane
+    minor dim still tile-pads to 128). Boundary-straddling rows are
+    recomputed densely in XLA (``batch_runtime._rowsum_boundary_prefix``).
+
+    All streams reduce in TWO natural matmuls per sub-chunk: a lane-concat
+    of the streams against a block-diagonal ones matrix (row totals), then
+    one inclusive-triangular matmul (row prefix) — versus 12 per-stream
+    matmuls in the full-prefix kernel."""
+    c = pl.program_id(0)
+    ks = pl.program_id(1)
+    n_streams = 2 * len(spacings)
+
+    @pl.when(ks == 0)
+    def _():
+        carry_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+
+    # inclusive lower-triangular matrix: row-total prefix via the MXU
+    tri_rows = (
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+    ).astype(jnp.float32)
+    # block-diagonal ones: column s sums stream s's 128 lanes of the concat
+    blk_r = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 0)
+    blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
+    blkdiag = ((blk_r >> 7) == blk_c).astype(jnp.bfloat16)
+    wfull = words_ref[pl.ds(c, 1)][0]
+
+    for sub in range(SUPER):
+      k = ks * SUPER + sub
+      streams = _sub_streams(
+          spacings, spms, n_q, local, step0,
+          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
+          shifts=shifts,
+      )
+      # Same bf16-input / f32-accumulate products as the full-prefix
+      # kernel's cs_row matmul, so row totals match it bit-for-bit up to
+      # summation order.
+      s_cat = jnp.concatenate(
+          [s.astype(jnp.bfloat16) for s in streams], axis=1)
+      row_tot = jnp.dot(s_cat, blkdiag,
+                        preferred_element_type=jnp.float32)   # [ROWS, S]
+      row_pref = jnp.dot(tri_rows, row_tot,
+                         preferred_element_type=jnp.float32)
+      carry = carry_ref[0:1, 0:n_streams]
+      out_ref[0, pl.ds(sub * ROWS, ROWS), :] = row_pref + carry
+      carry_ref[0:1, 0:n_streams] = carry + jnp.sum(
+          row_tot, axis=0, keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
+                     "interpret", "shifts"),
+)
+def block_rowsum_streams(
+    window_re, window_im, words, fb_q, phic_q, scalars,
+    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
+    shifts=None,
+):
+    """Row-level inclusive prefixes of the correlation streams.
+
+    Same inputs as :func:`block_cumsum_streams`; returns
+    ``[n_ch, n_rows_pad, n_streams]`` float32 (streams MINOR) where entry
+    ``[c, r, s]`` is the sum of stream ``s`` over samples
+    ``[0, 128 * (r + 1))``.
+    """
+    n_ch = words.shape[0]
+    g_dim = words.shape[2]
+    n_streams = 2 * len(spacings)
+    n_win_pad = window_re.shape[0]
+    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
+    n_super = n_win_pad // (SUPER * CHUNK)
+    n_rows_pad = n_win_pad // 128
+    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
+    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
+
+    kern = functools.partial(
+        _kernel_rowsum, spacings, spms, n_q, local, step0, n_win, shifts
+    )
+    in_specs = [
+        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n_ch, n_super),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, SUPER * ROWS, n_streams),
+                               lambda c, k: (c, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ch, n_rows_pad, n_streams),
+                                       jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        interpret=interpret,
+    )(scalars, fb_q, phic_q, win2, win2i, words)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",

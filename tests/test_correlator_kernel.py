@@ -46,7 +46,8 @@ import pytest
 
 @pytest.mark.parametrize("profile", ["borre", "kaplan"])
 @pytest.mark.parametrize("quantize", [False, True])
-def test_pallas_kernel_matches_xla_dense(profile, quantize):
+@pytest.mark.parametrize("boundary", ["prefix", "rowsum"])
+def test_pallas_kernel_matches_xla_dense(profile, quantize, boundary):
     cfg_args, bits3x, state, wre, wim = _setup()
     cfg_args["profile"] = profile
     cfg_args["quantize_spacing"] = quantize
@@ -56,7 +57,7 @@ def test_pallas_kernel_matches_xla_dense(profile, quantize):
         cfg_xla, bits3x, state, wre, wim)
 
     cfg_pl = TrackingConfig(**cfg_args, use_pallas=True,
-                            pallas_interpret=True)
+                            pallas_interpret=True, boundary_mode=boundary)
     st_p, out_p = batch_runtime.run_block_batched(
         cfg_pl, bits3x, state, wre, wim)
 

@@ -86,6 +86,31 @@ def test_sharded_superblock_matches_single_device():
             np.asarray(out_ref[k]), np.asarray(out_sh[k]), err_msg=k)
 
 
+def test_sharded_batch_step_rowsum_pallas_matches_single_device():
+    """The Pallas rowsum path (kernel + XLA boundary recompute) is per-channel
+    elementwise, so channel-sharding it must stay bit-identical."""
+    cfg = TrackingConfig(sampling_frequency=10e6, block_ms=2, tail_ms=2,
+                         window_size=10240, runtime="batch", use_pallas=True,
+                         pallas_interpret=True, boundary_mode="rowsum")
+    n_ch = 4
+    bits3x, state, wre, wim = _inputs(cfg, n_ch)
+
+    st_ref, out_ref = br.run_block_batched(cfg, bits3x, state, wre, wim)
+
+    mesh = pmesh.make_mesh(n_ch_shards=2, n_dop_shards=1,
+                           devices=jax.devices()[:2])
+    shard_ch, repl = pmesh.batch_shardings(mesh)
+    step = pmesh.make_sharded_batch_step(cfg, mesh)
+    st_sh, out_sh = step(
+        jax.device_put(bits3x, shard_ch),
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, shard_ch), state),
+        jax.device_put(wre, repl), jax.device_put(wim, repl),
+    )
+    for k in out_ref:
+        np.testing.assert_array_equal(
+            np.asarray(out_ref[k]), np.asarray(out_sh[k]), err_msg=k)
+
+
 def test_session_with_mesh_closed_loop():
     """Full session (acquisition handoff + batch tracking) on a mesh tracks
     a synthetic satellite identically to the single-device session."""

@@ -74,9 +74,16 @@ for name, cfg in (
     # quantized taps: compare against the QUANTIZED dense path (own truth)
     ("pallas-chip-quant", TrackingConfig(**args, use_pallas=True,
                                          quantize_spacing=True)),
+    ("pallas-chip-rowsum", TrackingConfig(**args, use_pallas=True,
+                                          boundary_mode="rowsum")),
+    ("pallas-chip-rowsum-quant", TrackingConfig(
+        **args, use_pallas=True, boundary_mode="rowsum",
+        quantize_spacing=True)),
 ):
-    if name == "pallas-chip-quant":
+    if "quant" in name:
         ref = corr_of(TrackingConfig(**args, quantize_spacing=True))
+    elif name == "pallas-chip-rowsum":
+        ref = np.load("/tmp/parity_cpu.npy")
     try:
         got = corr_of(cfg)
         err = np.max(np.abs(got - ref) / (np.abs(ref) + 1.0))

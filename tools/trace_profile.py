@@ -1,0 +1,106 @@
+"""Per-op DEVICE-time profile of the batched tracking step on the real chip.
+
+Wall-clock harnesses lie on the axon backend (dispatch-bound, host-load
+sensitive); `jax.profiler.trace` device timestamps are the only reliable
+instrument (docs/performance.md, "Round-2 kernel decomposition"). This tool
+runs the product-shape superblock step under a trace and aggregates per-op
+device durations, normalised to milliseconds per second of processed signal.
+
+Usage: env PYTHONPATH=/root/repo:$PYTHONPATH python tools/trace_profile.py \
+           [boundary_mode ...]
+"""
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+MODES = sys.argv[1:] or ["prefix", "rowsum"]
+N_CHANNELS = int(os.environ.get("BENCH_CHANNELS", "32"))
+FS = float(os.environ.get("BENCH_FS", "10e6"))
+BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "20"))
+SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
+QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
+
+
+def step_fn(mode):
+    import jax.numpy as jnp
+
+    from sydr_tpu.channels import batch_runtime as br
+    from sydr_tpu.channels.runtime import TrackingConfig
+    import __graft_entry__ as g
+
+    cfg = TrackingConfig(
+        sampling_frequency=FS, block_ms=BLOCK_MS, tail_ms=4,
+        window_size=int(round(FS * 1e-3)) + 256, runtime="batch",
+        use_pallas=True, superblock=SUPERBLOCK, quantize_spacing=QUANTIZE,
+        boundary_mode=mode,
+    )
+    codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
+    rng = np.random.default_rng(0)
+    spms = cfg.samples_per_ms
+    prns = [(k % 32) + 1 for k in range(N_CHANNELS)]
+    bits3x = jnp.asarray(br.tiled_code_bits(prns))
+    n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) * spms
+    wre = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
+    wim = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
+    return cfg, state, lambda st: br.run_superblock(
+        cfg, cfg.superblock, bits3x, st, wre, wim)
+
+
+def device_ops(trace_dir):
+    """[(op_name, total_duration_ms)] summed over the device plane(s)."""
+    import glob
+
+    import jax
+
+    paths = glob.glob(os.path.join(
+        trace_dir, "plugins/profile/*/*.xplane.pb"))
+    assert paths, trace_dir
+    data = jax.profiler.ProfileData.from_file(paths[-1])
+    totals = {}
+    for plane in data.planes:
+        if "TPU" not in plane.name and "/device" not in plane.name:
+            continue
+        for line in plane.lines:
+            # XLA op lines carry per-op events; steps/messages don't.
+            for ev in line.events:
+                ns = ev.duration_ns
+                if ns <= 0:
+                    continue
+                totals[ev.name] = totals.get(ev.name, 0.0) + ns * 1e-6
+    return sorted(totals.items(), key=lambda kv: -kv[1])
+
+
+def main():
+    import jax
+
+    print("devices:", jax.devices(), flush=True)
+    for mode in MODES:
+        cfg, state, step = step_fn(mode)
+        st, out = step(state)            # compile + warm
+        np.asarray(st.rem_code)          # fence (block_until_ready lies)
+        st, out = step(st)
+        np.asarray(st.rem_code)
+        sig_s = SUPERBLOCK * BLOCK_MS * 1e-3
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            t0 = time.time()
+            st, out = step(st)
+            np.asarray(st.rem_code)
+            wall = time.time() - t0
+            jax.profiler.stop_trace()
+            ops = device_ops(td)
+        total = sum(ms for _, ms in ops)
+        print(f"\n=== boundary_mode={mode} quant={QUANTIZE} "
+              f"(1 superblock = {sig_s:.1f}s signal; wall {wall:.2f}s) ===")
+        print(f"device total: {total / sig_s:8.2f} ms/s "
+              f"(RTF-limit {1000 * sig_s / total:6.1f})")
+        for name, ms in ops[:14]:
+            print(f"  {ms / sig_s:8.2f} ms/s  {name[:90]}")
+        jax.clear_caches()
+
+
+if __name__ == "__main__":
+    main()

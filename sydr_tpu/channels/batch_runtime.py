@@ -526,10 +526,14 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
             [window_re, jnp.zeros(pad, jnp.float32)]) if pad else window_re
         wim_p = jnp.concatenate(
             [window_im, jnp.zeros(pad, jnp.float32)]) if pad else window_im
-        g_pad = (-words.shape[-1]) % 128
-        words_p = jnp.concatenate(
-            [words, jnp.zeros(words.shape[:-1] + (g_pad,), jnp.float32)],
-            axis=-1) if g_pad else words
+        # Sublane-oriented word table: [n_ch, G_PAD, C0I_ROWS] with LEAD
+        # leading zero-groups so per-run picks are contiguous dynamic
+        # sublane slices (ck.wtab_geometry).
+        lead, g_pad_tab = ck.wtab_geometry(spms, words.shape[-1])
+        tail = g_pad_tab - lead - words.shape[-1]
+        assert tail >= 0, (g_pad_tab, lead, words.shape)
+        words_p = jnp.pad(jnp.transpose(words, (0, 2, 1)),
+                          ((0, 0), (lead, tail), (0, 0)))
         scalars = jnp.stack(
             [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
         )

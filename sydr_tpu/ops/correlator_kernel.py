@@ -51,11 +51,29 @@ GSIZE = 128
 C0I_MIN = -1
 C0I_ROWS = 4
 WRUN = 36  # per-chunk word slice: up to 32 groups + margins
+_ABLATE = None  # measurement hook (tools/): "notrig" | "noword" | ... | None
+
+
+def wtab_geometry(spms: int, n_groups: int) -> tuple[int, int]:
+    """(LEAD, G_PAD) for the sublane-oriented word table.
+
+    The per-row word pick exploits ``grp_abs(row) = g0 + row`` exactly
+    (groups are GSIZE = 128 samples = one vector row), so a ms-run's words
+    are a CONTIGUOUS sublane slice of a ``[G_PAD, C0I_ROWS]`` table at
+    dynamic offset ``LEAD + g0``. ``g0`` ranges over
+    ``[-(spms-1)//128 - 1, (spms-1)//128]`` (run b starts up to one whole
+    ms after the sub-chunk start), hence the LEAD zero-groups; the tail
+    pads the longest slice (ROWS + 16 rows).
+    """
+    lead = ((spms - 1) >> 7) + 2
+    g_pad = lead + ((spms - 1) >> 7) + 1 + ROWS + 16
+    g_pad += (-g_pad) % 8
+    return lead, g_pad
 
 
 def _sub_streams(spacings, spms, n_q, local, step0,
                  sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
-                 wfull, c, k, shifts=None):
+                 wtab_ref, c, k, shifts=None):
     """The six-to-ten correlation streams for one CHUNK sub-chunk.
 
     Carrier mix + chip reconstruction for every spacing, returned as a list
@@ -65,8 +83,13 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     spacings), the chip stream is reconstructed ONCE at the base spacing on
     an extended row grid and each correlator's chips are a forward shift of
     it by ``k_s`` whole samples (two ``pltpu.roll``s + one lane select) —
-    hardware-correlator tap semantics, ~1/3 of the per-spacing VPU work and
-    1/3 of the word-pick matmuls.
+    hardware-correlator tap semantics, ~1/3 of the per-spacing VPU work.
+
+    ``wtab_ref`` is the (1, G_PAD, C0I_ROWS) sublane-oriented word table:
+    per-row packed words are contiguous dynamic sublane slices (one group
+    = 128 samples = one vector row), which replaced the one-hot word-pick
+    matmuls (measured 12.4 ms/s of the 37 ms/s rowsum kernel) and with
+    them the byte-plane exactness workaround — slices are exact f32.
     """
     omega = sc_ref[c, 0]
     code_step = sc_ref[c, 1]
@@ -94,9 +117,16 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     # NOTE: the TPU VPU has a hardware transcendental unit — a factored
     # rank-1 carrier (sincos on ROWS+128 values + angle-addition
     # reconstruction) measured ~15% SLOWER than the direct form below.
+    # (Re-measured in round 2 under the rowsum kernel: sincos is 6.4 ms/s of
+    # the 37 ms/s kernel; the rank-1 factored carrier measured 12.6 ms/s
+    # SLOWER again. The direct form stands.)
     phase = jnp.where(in_q1, ph1, ph0) - omega * lm_f
-    cosv = jnp.cos(phase)
-    sinv = jnp.sin(phase)
+    if _ABLATE == "notrig":
+        cosv = phase * 1e-6
+        sinv = phase * -1e-6
+    else:
+        cosv = jnp.cos(phase)
+        sinv = jnp.sin(phase)
     wre = win_re_ref[0, sub].reshape(ROWS, 128)
     wim = win_im_ref[0, sub].reshape(ROWS, 128)
     mre = cosv * wre - sinv * wim
@@ -107,53 +137,31 @@ def _sub_streams(spacings, spms, n_q, local, step0,
         jnp.int32
     )
 
+    lead, _ = wtab_geometry(spms, 0)
+
     def words_for_run(fb_s, q_start_m, m0=m0, n_rows=ROWS):
         """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
 
-        Mosaic forbids unaligned lane slices, so the per-row packed word is
-        picked from the full 128-group row with a lane one-hot reduction
-        using *absolute* group indices (negative for rows that start before
-        the run's millisecond — their one-hot is empty and the lanes are
-        masked by in_q1 anyway).
+        Row ``r`` needs words ``g0 + r`` and ``g0 + r + 1`` with
+        ``g0 = (m0 - q_start_m) >> 7`` a per-run SCALAR (one 128-sample
+        group per vector row), so both columns come from one dynamic
+        sublane slice of the word table — exact f32, no matmuls. ``g0`` is
+        negative for runs starting after the sub-chunk (run b): those rows
+        read the LEAD zero-groups and are masked by ``in_q1`` anyway. The
+        lane threshold ``lam`` is also a per-run scalar
+        (``l0 mod 128`` is row-invariant).
         """
-        c0i = jnp.floor(fb_s).astype(jnp.int32)
+        c0i = jnp.floor(fb_s).astype(jnp.int32)                # scalar
         rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
-        wrow = jnp.zeros((128,), jnp.float32)
+        l0 = m0 - q_start_m                                    # scalar
+        g0 = jax.lax.shift_right_arithmetic(l0, 7)
+        w4 = wtab_ref[0, pl.ds(lead + g0, n_rows + 8), :]      # [n_rows+8, 4]
+        w = jnp.zeros((n_rows + 8, 1), jnp.float32)
         for v in range(C0I_ROWS):
-            wrow = wrow + jnp.where(rowsel == v, wfull[v], 0.0)
-        l0 = m0 + jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0) * 128 \
-            - q_start_m
-        grp_abs = l0 >> 7                                      # [n_rows, 1]
-        # one-hot x word-row dot products on the MXU instead of lane
-        # log-reductions on the VPU
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
-        wrow_col = wrow.reshape(128, 1)
-        # EXACTNESS: the picked words are up-to-24-bit integers, but the
-        # backend's default matmul precision is a single bf16 pass (a
-        # silent backend change mid-round-2 turned every chip correlator
-        # to noise, while Precision.HIGHEST costs ~6 passes and halved
-        # RTF). Split the word into three byte planes — 0..255 integers
-        # are bf16-exact, the one-hot is 0/1, accumulation is f32 — so a
-        # single default-precision dot stays bit-exact; recombination is
-        # an exact f32 weighted lane reduction.
-        b2 = jnp.floor(wrow_col * (1.0 / 65536.0))
-        rem = wrow_col - b2 * 65536.0
-        b1 = jnp.floor(rem * (1.0 / 256.0))
-        b0 = rem - b1 * 256.0
-        w_bytes = jnp.concatenate(
-            [b2, b1, b0, jnp.zeros((128, 5), jnp.float32)], axis=1)
-        lane8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-        scale = jnp.where(
-            lane8 == 0, 65536.0,
-            jnp.where(lane8 == 1, 256.0,
-                      jnp.where(lane8 == 2, 1.0, 0.0)))
-        oh_lo = (lane_r == grp_abs).astype(jnp.float32)
-        oh_hi = (lane_r == grp_abs + 1).astype(jnp.float32)
-        p_lo = jnp.dot(oh_lo, w_bytes, preferred_element_type=jnp.float32)
-        p_hi = jnp.dot(oh_hi, w_bytes, preferred_element_type=jnp.float32)
-        w_lo = jnp.sum(p_lo * scale, axis=1, keepdims=True)
-        w_hi = jnp.sum(p_hi * scale, axis=1, keepdims=True)
-        lam = 128 - (l0 & 127)
+            w = w + jnp.where(rowsel == v, w4[:, v:v + 1], 0.0)
+        w_lo = w[0:n_rows]
+        w_hi = w[1:n_rows + 1]
+        lam = 128 - (l0 & 127)                                 # scalar
         return c0i, w_lo, w_hi, lam
 
     if shifts is not None:
@@ -170,24 +178,33 @@ def _sub_streams(spacings, spms, n_q, local, step0,
         cs0v_e = jnp.floor(
             grp_e.astype(jnp.float32) * (GSIZE * step0)).astype(jnp.int32)
 
-        c0i_a, wlo_a, whi_a, lam_a = words_for_run(
-            fb0 + base_sp, q0 * spms, n_rows=RE)
-        c0i_b, wlo_b, whi_b, lam_b = words_for_run(
-            fb1 + base_sp, ms_next, n_rows=RE)
-        w_a = jnp.where(col_e >= lam_a, whi_a, wlo_a)
-        w_b = jnp.where(col_e >= lam_b, whi_b, wlo_b)
-        w = jnp.where(in_q1e, w_b, w_a)
-        r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
-        c0i_el = jnp.where(in_q1e, c0i_b, c0i_a)
-        idxf = jnp.ceil(r_el + lm_ef * code_step).astype(jnp.int32)
-        l = jnp.clip(idxf - c0i_el + 2 - cs0v_e, 0, local - 1)
-        p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
-        t = w * p2
-        bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)          # [RE, 128]
+        if _ABLATE == "noword":
+            w = jnp.float32(11184810.0)  # 0b1010... pattern, no word picks
+            r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
+            c0i_el = jnp.zeros_like(cs0v_e)
+        else:
+            c0i_a, wlo_a, whi_a, lam_a = words_for_run(
+                fb0 + base_sp, q0 * spms, n_rows=RE)
+            c0i_b, wlo_b, whi_b, lam_b = words_for_run(
+                fb1 + base_sp, ms_next, n_rows=RE)
+            w_a = jnp.where(col_e >= lam_a, whi_a, wlo_a)
+            w_b = jnp.where(col_e >= lam_b, whi_b, wlo_b)
+            w = jnp.where(in_q1e, w_b, w_a)
+            r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
+            c0i_el = jnp.where(in_q1e, c0i_b, c0i_a)
+        if _ABLATE == "nobit":
+            bit = (lm_e & 1).astype(jnp.float32)
+        else:
+            idxf = jnp.ceil(r_el + lm_ef * code_step).astype(jnp.int32)
+            l = jnp.clip(idxf - c0i_el + 2 - cs0v_e, 0, local - 1)
+            p2 = pltpu.bitcast(
+                ((127 - l) << 23).astype(jnp.int32), jnp.float32)
+            t = w * p2
+            bit = jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)      # [RE, 128]
 
         streams = []
         for ksh in ks_list:
-            if ksh == 0:
+            if ksh == 0 or _ABLATE == "noroll":
                 b = bit[0:ROWS]
             else:
                 # stream_s[m] = base_chip[m + ksh]: lane roll + row carry
@@ -246,13 +263,12 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
         jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     ).astype(jnp.float32)
-    wfull = words_ref[pl.ds(c, 1)][0]                         # [C0I_ROWS, 128]
 
     for sub in range(SUPER):
       k = ks * SUPER + sub
       streams = _sub_streams(
           spacings, spms, n_q, local, step0,
-          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
+          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref, c, k,
           shifts=shifts,
       )
       for out_idx, s in enumerate(streams):
@@ -307,13 +323,12 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
     blk_r = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 0)
     blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
     blkdiag = ((blk_r >> 7) == blk_c).astype(jnp.bfloat16)
-    wfull = words_ref[pl.ds(c, 1)][0]
 
     for sub in range(SUPER):
       k = ks * SUPER + sub
       streams = _sub_streams(
           spacings, spms, n_q, local, step0,
-          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, wfull, c, k,
+          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref, c, k,
           shifts=shifts,
       )
       # Same bf16-input / f32-accumulate products as the full-prefix
@@ -343,13 +358,14 @@ def block_rowsum_streams(
 ):
     """Row-level inclusive prefixes of the correlation streams.
 
-    Same inputs as :func:`block_cumsum_streams`; returns
-    ``[n_ch, n_rows_pad, n_streams]`` float32 (streams MINOR) where entry
-    ``[c, r, s]`` is the sum of stream ``s`` over samples
-    ``[0, 128 * (r + 1))``.
+    Same inputs as :func:`block_cumsum_streams` (``words`` in the
+    sublane-oriented ``[n_ch, G_PAD, C0I_ROWS]`` layout of
+    :func:`wtab_geometry`); returns ``[n_ch, n_rows_pad, n_streams]``
+    float32 (streams MINOR) where entry ``[c, r, s]`` is the sum of stream
+    ``s`` over samples ``[0, 128 * (r + 1))``.
     """
     n_ch = words.shape[0]
-    g_dim = words.shape[2]
+    g_pad = words.shape[1]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
@@ -372,7 +388,7 @@ def block_rowsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
+        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda c, k: (c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
@@ -403,7 +419,8 @@ def block_cumsum_streams(
 
     Args:
         window_re/im: ``[n_win_pad]`` float32 (padded to CHUNK multiple).
-        words: ``[n_ch, C0I_ROWS, G]`` packed code words (G >= 128).
+        words: ``[n_ch, G_PAD, C0I_ROWS]`` sublane-oriented word table
+            (:func:`wtab_geometry`).
         fb_q, phic_q: ``[n_ch, n_q]`` per-ms code/carrier phase anchors.
         scalars: ``[n_ch, 8]`` per-channel (omega, code_step, ...).
 
@@ -411,7 +428,7 @@ def block_cumsum_streams(
     ``out[..., i]`` = sum of the stream over samples [0, i].
     """
     n_ch = words.shape[0]
-    g_dim = words.shape[2]
+    g_pad = words.shape[1]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     assert n_win_pad % CHUNK == 0
@@ -434,7 +451,7 @@ def block_cumsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_ch, C0I_ROWS, g_dim), lambda c, k: (0, 0, 0),
+        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda c, k: (c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(

@@ -39,9 +39,9 @@ SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
 # Sample-quantised correlator taps (hardware-correlator semantics): E/L
 # chips are whole-sample shifts of one base chip stream.
 QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
-# Pallas boundary extraction: "prefix" (full per-sample prefix + gather) or
-# "rowsum" (row-level prefix + dense XLA edge recompute).
-BOUNDARY = os.environ.get("BENCH_BOUNDARY", "prefix")
+# Pallas boundary extraction: "rowsum" (row-level prefix + dense XLA edge
+# recompute, the production default) or "prefix" (full per-sample prefix).
+BOUNDARY = os.environ.get("BENCH_BOUNDARY", "rowsum")
 
 
 def bench_tracking():

@@ -375,21 +375,49 @@ def _rowsum_boundary_prefix(cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
     """
     n_ch, B = bounds.shape
     n_rows = rowpref.shape[1]
+    n_streams = rowpref.shape[2]
     GS = 128
     rb = bounds // GS
     t = bounds - rb * GS
-    hp = jax.lax.Precision.HIGHEST  # one-hot picks: exact (single term)
 
+    # --- One fused one-hot matmul for every row-level pick ----------------
+    # All three gathers (window re/im rows and the previous-row prefix) use
+    # the same [n_ch*B, n_rows] one-hot matrix, so they ride ONE natural
+    # MXU matmul against [window_re | window_im | rowpref(shifted, all
+    # channels)]. Exactness comes from a 3-plane bf16 split of the f32
+    # operand (8+8+8 mantissa bits, one-hot rows have a single 1, f32
+    # accumulation) instead of a 6-pass Precision.HIGHEST contraction; the
+    # per-(c,b) row of the rowpref block picks ALL channels' prefixes and
+    # the own-channel column block is selected afterwards — 32x redundant
+    # MACs on the MXU are far cheaper than a per-channel batched einsum on
+    # the VPU (measured 2.1 ms/s for the batched HIGHEST form).
     iota_r = jnp.arange(n_rows, dtype=jnp.int32)
-    oh_prev = (iota_r[None, None, :] == (rb - 1)[..., None]).astype(
-        jnp.float32)                       # rb == 0 -> empty -> 0
-    pick_rows = jnp.einsum('cbn,cns->csb', oh_prev, rowpref, precision=hp)
-
+    oh_row = (iota_r[None, None, :] == rb[..., None]).astype(
+        jnp.bfloat16).reshape(n_ch * B, n_rows)
     win2 = wre_p.reshape(-1, GS)[:n_rows]
     wim2 = wim_p.reshape(-1, GS)[:n_rows]
-    oh_row = (iota_r[None, None, :] == rb[..., None]).astype(jnp.float32)
-    g_re = jnp.einsum('cbn,nl->cbl', oh_row, win2, precision=hp)
-    g_im = jnp.einsum('cbn,nl->cbl', oh_row, wim2, precision=hp)
+    # rowpref shifted down one row so oh_row picks rowpref[rb - 1]
+    # (row 0 -> 0), flattened channels-minor: [n_rows, n_ch * n_streams]
+    rp_shift = jnp.pad(rowpref[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
+    rp_flat = jnp.transpose(rp_shift, (1, 0, 2)).reshape(
+        n_rows, n_ch * n_streams)
+    rhs = jnp.concatenate([win2, wim2, rp_flat], axis=1)
+    planes = []
+    rem = rhs
+    for _ in range(3):
+        p = rem.astype(jnp.bfloat16)
+        planes.append(p)
+        rem = rem - p.astype(jnp.float32)
+    picked = sum(
+        jnp.dot(oh_row, p, preferred_element_type=jnp.float32)
+        for p in planes)                       # [n_ch*B, 2*GS + n_ch*S]
+    g_re = picked[:, 0:GS].reshape(n_ch, B, GS)
+    g_im = picked[:, GS:2 * GS].reshape(n_ch, B, GS)
+    rp_all = picked[:, 2 * GS:].reshape(n_ch, B, n_ch, n_streams)
+    own = (jnp.arange(n_ch)[:, None, None, None]
+           == jnp.arange(n_ch)[None, None, :, None])
+    pick_rows = jnp.transpose(
+        jnp.sum(jnp.where(own, rp_all, 0.0), axis=2), (0, 2, 1))
 
     lane = jnp.arange(GS, dtype=jnp.int32)
     iota_q = jnp.arange(n_q, dtype=jnp.int32)

@@ -137,15 +137,17 @@ class TrackingConfig:
     quantize_spacing: bool = False
     epl_method: str = "bitpack"
     # Pallas-path boundary extraction:
+    #   "rowsum" (default) — the kernel writes only a 128-sample-row-level
+    #     prefix (~1/21 the HBM write) and the <= block_ms+1
+    #     boundary-straddling rows per channel are recomputed densely in
+    #     XLA (one one-hot pick matmul — no serial gathers), trading ~2%
+    #     redundant compute for the dominant HBM prefix write. Measured
+    #     device time 54 -> 38 ms per signal-second at the product shape.
     #   "prefix" — the kernel writes the full per-sample prefix of every
     #     stream to HBM (~188 MB/block at the product shape) and epoch sums
-    #     are picked with take_along_axis.
-    #   "rowsum" — the kernel writes only a 128-sample-row-level prefix
-    #     (~1.5 MB/block) and the <= block_ms+1 boundary-straddling rows per
-    #     channel are recomputed densely in XLA (one-hot einsum picks — no
-    #     serial gathers), trading ~2% redundant compute for the dominant
-    #     HBM prefix write.
-    boundary_mode: str = "prefix"
+    #     are picked with take_along_axis. The round-1 production design,
+    #     kept as the fallback/oracle form.
+    boundary_mode: str = "rowsum"
 
     @property
     def samples_per_ms(self) -> int:

@@ -127,6 +127,12 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     else:
         cosv = jnp.cos(phase)
         sinv = jnp.sin(phase)
+    # NOTE: a bf16 mix + integer (variable-shift) chip extract was built
+    # and trace-profiled in round 2 on the theory that the kernel is
+    # VMEM-traffic-bound: it measured SLOWER (30.8 vs 28.1 ms/s kernel) —
+    # int32<->bf16 casts and mixed-dtype relayouts cost more than the
+    # halved element width saves. f32 elementwise + one bf16 cast at the
+    # matmul input stands.
     wre = win_re_ref[0, sub].reshape(ROWS, 128)
     wim = win_im_ref[0, sub].reshape(ROWS, 128)
     mre = cosv * wre - sinv * wim
@@ -193,7 +199,7 @@ def _sub_streams(spacings, spms, n_q, local, step0,
             r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
             c0i_el = jnp.where(in_q1e, c0i_b, c0i_a)
         if _ABLATE == "nobit":
-            bit = (lm_e & 1).astype(jnp.float32)
+            bit = ((lm_e & 2) >> 1).astype(jnp.float32)
         else:
             idxf = jnp.ceil(r_el + lm_ef * code_step).astype(jnp.int32)
             l = jnp.clip(idxf - c0i_el + 2 - cs0v_e, 0, local - 1)
@@ -207,7 +213,9 @@ def _sub_streams(spacings, spms, n_q, local, step0,
             if ksh == 0 or _ABLATE == "noroll":
                 b = bit[0:ROWS]
             else:
-                # stream_s[m] = base_chip[m + ksh]: lane roll + row carry
+                # stream_s[m] = base_chip[m + ksh]: lane roll + row carry.
+                # Rolls stay 32-bit — Mosaic's dynamic_rotate has no bf16
+                # lowering ("Rotate with non-32-bit data").
                 # (pltpu.roll takes non-negative shifts; 128-k == -k mod 128)
                 a = pltpu.roll(bit, 128 - ksh, axis=1)
                 a_up = pltpu.roll(a, RE - 1, axis=0)
@@ -243,14 +251,16 @@ def _sub_streams(spacings, spms, n_q, local, step0,
 def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
             sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
             out_ref, carry_ref):
-    """Grid (n_ch, n_super); out block = (1, 6, SUPER*CHUNK) running prefix."""
-    c = pl.program_id(0)
-    ks = pl.program_id(1)
+    """Grid (n_super, n_ch) — time OUTER so the shared window block is
+    fetched once per super-chunk (see ``_kernel_rowsum``); out block =
+    (1, 6, SUPER*CHUNK) running prefix."""
+    ks = pl.program_id(0)
+    c = pl.program_id(1)
 
     @pl.when(ks == 0)
     def _():
         for i in range(16):
-            carry_ref[0, i] = 0.0
+            carry_ref[c, i] = 0.0
 
     # strict-lower-triangular matrix for row-prefix accumulation
     tri = (
@@ -286,11 +296,11 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
           row_pref = jnp.dot(tri, row_tot,
                              preferred_element_type=jnp.float32)
           prefix = cs_row + row_pref
-          carry = carry_ref[0, out_idx]
+          carry = carry_ref[c, out_idx]
           out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
               prefix + carry
           ).reshape(CHUNK)
-          carry_ref[0, out_idx] = carry + jnp.sum(row_tot)
+          carry_ref[c, out_idx] = carry + jnp.sum(row_tot)
 
 
 def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
@@ -305,14 +315,21 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
     All streams reduce in TWO natural matmuls per sub-chunk: a lane-concat
     of the streams against a block-diagonal ones matrix (row totals), then
     one inclusive-triangular matmul (row prefix) — versus 12 per-stream
-    matmuls in the full-prefix kernel."""
-    c = pl.program_id(0)
-    ks = pl.program_id(1)
+    matmuls in the full-prefix kernel.
+
+    Grid is (n_super, n_ch) — time-block OUTER, channel INNER — so the
+    shared sample-window block index is constant across the inner loop and
+    Mosaic fetches it once per super-chunk instead of once per (channel,
+    super-chunk): the window would otherwise be re-read from HBM by every
+    channel (~59 MB/block at the product shape). Per-channel running
+    carries live in a [n_ch_pad, 128] VMEM scratch across outer steps."""
+    ks = pl.program_id(0)
+    c = pl.program_id(1)
     n_streams = 2 * len(spacings)
 
     @pl.when(ks == 0)
     def _():
-        carry_ref[0:1, :] = jnp.zeros((1, 128), jnp.float32)
+        carry_ref[pl.ds(c, 1), :] = jnp.zeros((1, 128), jnp.float32)
 
     # inclusive lower-triangular matrix: row-total prefix via the MXU
     tri_rows = (
@@ -340,9 +357,9 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
                         preferred_element_type=jnp.float32)   # [ROWS, S]
       row_pref = jnp.dot(tri_rows, row_tot,
                          preferred_element_type=jnp.float32)
-      carry = carry_ref[0:1, 0:n_streams]
+      carry = carry_ref[pl.ds(c, 1), 0:n_streams]
       out_ref[0, pl.ds(sub * ROWS, ROWS), :] = row_pref + carry
-      carry_ref[0:1, 0:n_streams] = carry + jnp.sum(
+      carry_ref[pl.ds(c, 1), 0:n_streams] = carry + jnp.sum(
           row_tot, axis=0, keepdims=True)
 
 
@@ -378,29 +395,29 @@ def block_rowsum_streams(
         _kernel_rowsum, spacings, spms, n_q, local, step0, n_win, shifts
     )
     in_specs = [
-        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, 8), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda c, k: (c, 0, 0),
+        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda k, c: (c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         kern,
-        grid=(n_ch, n_super),
+        grid=(n_super, n_ch),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, SUPER * ROWS, n_streams),
-                               lambda c, k: (c, k, 0),
+                               lambda k, c: (c, k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_rows_pad, n_streams),
                                        jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((n_ch, 128), jnp.float32)],
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)
 
@@ -441,28 +458,28 @@ def block_cumsum_streams(
         _kernel, spacings, spms, n_q, local, step0, n_win, shifts
     )
     in_specs = [
-        pl.BlockSpec((n_ch, 8), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, 8), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((n_ch, n_q), lambda c, k: (0, 0),
+        pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda c, k: (k, 0, 0, 0),
+        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda c, k: (c, 0, 0),
+        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda k, c: (c, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         kern,
-        grid=(n_ch, n_super),
+        grid=(n_super, n_ch),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, n_streams, SUPER * CHUNK),
-                               lambda c, k: (c, 0, k),
+                               lambda k, c: (c, 0, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, n_win_pad),
                                        jnp.float32),
-        scratch_shapes=[pltpu.SMEM((1, 16), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((n_ch, 16), jnp.float32)],
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)

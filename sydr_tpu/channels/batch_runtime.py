@@ -354,54 +354,63 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
     return jnp.stack(streams, axis=1)
 
 
-def _rowsum_boundary_prefix(cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
+def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
                             omega, code_step, bounds, spacings_eff, shifts,
                             spms, n_q, local, step0):
     """Inclusive stream prefixes ``P(b) = sum over samples [0, b)`` at every
-    epoch boundary, from the row-level kernel output.
+    epoch boundary, from the kernel's row-total output.
 
-    ``P(b) = rowpref[b//128 - 1] + partial(row b//128, lanes < b%128)``; the
-    partial recomputes the boundary-straddling row's streams densely with
-    the kernel's exact chip/carrier arithmetic. Every pick is a one-hot
-    einsum / select-sum — no serial XLA gathers anywhere (the failure mode
-    of the round-2 "row sums + XLA edge partials" variant).
+    ``P(b) = sum of row totals over rows < b//128 + partial(row b//128,
+    lanes < b%128)``; the partial recomputes the boundary-straddling row's
+    streams densely with the kernel's exact chip/carrier arithmetic. Every
+    pick is a one-hot/step contraction — no serial XLA gathers anywhere
+    (the failure mode of the round-2 "row sums + XLA edge partials"
+    variant), and no materialised row prefix at all (``jnp.cumsum`` over
+    the row axis lowered to a 13.6 ms/s reduce-window: the step-function
+    matmul below subsumes it).
 
     Args:
-        rowpref: ``[n_ch, n_rows, n_streams]`` row-level inclusive prefix
+        rowtot: ``[n_ch, n_rows, n_streams]`` bfloat16 per-row totals
             (streams minor — the kernel's native store layout).
         bounds: ``[n_ch, B]`` boundary sample indices in window coords.
 
     Returns ``[n_ch, n_streams, B]`` float32.
     """
     n_ch, B = bounds.shape
-    n_rows = rowpref.shape[1]
-    n_streams = rowpref.shape[2]
+    n_rows = rowtot.shape[1]
+    n_streams = rowtot.shape[2]
     GS = 128
     rb = bounds // GS
     t = bounds - rb * GS
 
-    # --- One fused one-hot matmul for every row-level pick ----------------
-    # All three gathers (window re/im rows and the previous-row prefix) use
-    # the same [n_ch*B, n_rows] one-hot matrix, so they ride ONE natural
-    # MXU matmul against [window_re | window_im | rowpref(shifted, all
-    # channels)]. Exactness comes from a 3-plane bf16 split of the f32
-    # operand (8+8+8 mantissa bits, one-hot rows have a single 1, f32
-    # accumulation) instead of a 6-pass Precision.HIGHEST contraction; the
-    # per-(c,b) row of the rowpref block picks ALL channels' prefixes and
-    # the own-channel column block is selected afterwards — 32x redundant
-    # MACs on the MXU are far cheaper than a per-channel batched einsum on
-    # the VPU (measured 2.1 ms/s for the batched HIGHEST form).
+    # --- Gather-free row-level picks on the MXU ---------------------------
+    # (1) The interior-rows term of P(b) is a STEP-function contraction of
+    # the bf16 row totals (rows < rb), f32-accumulated — exact products
+    # (0/1 x bf16), one natural matmul. The per-(c,b) row picks ALL
+    # channels' totals and the own-channel column block is selected after —
+    # 32x redundant MACs on the MXU are far cheaper than a per-channel
+    # batched einsum on the VPU (measured 2.1 ms/s for that form).
+    # (2) The boundary-row window samples use a one-hot matrix against
+    # [window_re | window_im] with an exact 3-plane bf16 operand split
+    # (f32 = 8+8+8 mantissa bits, f32 accumulation of a single term).
     iota_r = jnp.arange(n_rows, dtype=jnp.int32)
+    step_row = (iota_r[None, None, :] < rb[..., None]).astype(
+        jnp.bfloat16).reshape(n_ch * B, n_rows)
+    rt_flat = jnp.transpose(rowtot, (1, 0, 2)).reshape(
+        n_rows, n_ch * n_streams)
+    rp_all = jnp.dot(step_row, rt_flat,
+                     preferred_element_type=jnp.float32).reshape(
+                         n_ch, B, n_ch, n_streams)
+    own = (jnp.arange(n_ch)[:, None, None, None]
+           == jnp.arange(n_ch)[None, None, :, None])
+    pick_rows = jnp.transpose(
+        jnp.sum(jnp.where(own, rp_all, 0.0), axis=2), (0, 2, 1))
+
     oh_row = (iota_r[None, None, :] == rb[..., None]).astype(
         jnp.bfloat16).reshape(n_ch * B, n_rows)
     win2 = wre_p.reshape(-1, GS)[:n_rows]
     wim2 = wim_p.reshape(-1, GS)[:n_rows]
-    # rowpref shifted down one row so oh_row picks rowpref[rb - 1]
-    # (row 0 -> 0), flattened channels-minor: [n_rows, n_ch * n_streams]
-    rp_shift = jnp.pad(rowpref[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    rp_flat = jnp.transpose(rp_shift, (1, 0, 2)).reshape(
-        n_rows, n_ch * n_streams)
-    rhs = jnp.concatenate([win2, wim2, rp_flat], axis=1)
+    rhs = jnp.concatenate([win2, wim2], axis=1)
     planes = []
     rem = rhs
     for _ in range(3):
@@ -410,14 +419,9 @@ def _rowsum_boundary_prefix(cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
         rem = rem - p.astype(jnp.float32)
     picked = sum(
         jnp.dot(oh_row, p, preferred_element_type=jnp.float32)
-        for p in planes)                       # [n_ch*B, 2*GS + n_ch*S]
+        for p in planes)                       # [n_ch*B, 2*GS]
     g_re = picked[:, 0:GS].reshape(n_ch, B, GS)
     g_im = picked[:, GS:2 * GS].reshape(n_ch, B, GS)
-    rp_all = picked[:, 2 * GS:].reshape(n_ch, B, n_ch, n_streams)
-    own = (jnp.arange(n_ch)[:, None, None, None]
-           == jnp.arange(n_ch)[None, None, :, None])
-    pick_rows = jnp.transpose(
-        jnp.sum(jnp.where(own, rp_all, 0.0), axis=2), (0, 2, 1))
 
     lane = jnp.arange(GS, dtype=jnp.int32)
     iota_q = jnp.arange(n_q, dtype=jnp.int32)
@@ -578,17 +582,18 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         bounds = jnp.concatenate([b_start, last_end], axis=0)  # [bm+1, n_ch]
 
         if cfg.boundary_mode == "rowsum":
-            # Row-level prefix (~1/128 the HBM write of the full-prefix
-            # kernel) + dense XLA recompute of the boundary-straddling
-            # rows — one-hot einsum picks, no serial gathers.
-            rowpref = ck.block_rowsum_streams(
+            # Row-level bf16 totals (~1/42 the HBM write of the
+            # full-prefix kernel); boundary prefixes come from step/one-hot
+            # pick matmuls + dense recompute of the straddling rows — no
+            # serial gathers, no materialised row prefix.
+            rowtot = ck.block_rowsum_streams(
                 wre_p, wim_p, words_p, fb_q, phic_q, scalars,
                 spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
                 step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
                 shifts=shifts,
             )
             picked = _rowsum_boundary_prefix(
-                cfg, rowpref, wre_p, wim_p, words, fb_q, phic_q,
+                cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
                 omega, code_step, jnp.transpose(bounds, (1, 0)),
                 spacings_eff, shifts, spms, n_q, local, step0,
             )                                  # [n_ch, n_streams, bm+1]

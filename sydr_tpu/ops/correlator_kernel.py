@@ -305,37 +305,30 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
 
 def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
                    sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
-                   words_ref, out_ref, carry_ref):
-    """Row-level variant: out block = (1, SUPER*ROWS, n_streams) inclusive
-    prefix of the per-128-sample-row totals, streams minor — sublane-aligned
-    stores, ~1/21 the HBM write volume of the full-prefix kernel (the 6-lane
-    minor dim still tile-pads to 128). Boundary-straddling rows are
-    recomputed densely in XLA (``batch_runtime._rowsum_boundary_prefix``).
+                   words_ref, out_ref):
+    """Row-level variant: out block = (1, SUPER*ROWS, n_streams) bfloat16
+    per-128-sample-row TOTALS, streams minor — sublane-aligned stores,
+    ~1/42 the HBM write volume of the full-prefix kernel (the 6-lane minor
+    dim still tile-pads to 128). The inclusive row prefix is an exact f32
+    ``cumsum`` in XLA (trivial at 1/128 the sample count), and
+    boundary-straddling rows are recomputed densely there too
+    (``batch_runtime._rowsum_boundary_prefix``). bf16 row totals add
+    ~2^-9-relative rounding per ROW total — ~2e-4 of an epoch sum, -37 dB
+    below the bf16 product rounding already accepted per sample.
 
-    All streams reduce in TWO natural matmuls per sub-chunk: a lane-concat
-    of the streams against a block-diagonal ones matrix (row totals), then
-    one inclusive-triangular matmul (row prefix) — versus 12 per-stream
-    matmuls in the full-prefix kernel.
+    All streams reduce in ONE natural matmul per sub-chunk: a lane-concat
+    of the streams against a block-diagonal ones matrix — versus 12
+    per-stream matmuls in the full-prefix kernel; no cross-chunk carry
+    state at all.
 
     Grid is (n_super, n_ch) — time-block OUTER, channel INNER — so the
     shared sample-window block index is constant across the inner loop and
     Mosaic fetches it once per super-chunk instead of once per (channel,
-    super-chunk): the window would otherwise be re-read from HBM by every
-    channel (~59 MB/block at the product shape). Per-channel running
-    carries live in a [n_ch_pad, 128] VMEM scratch across outer steps."""
+    super-chunk)."""
     ks = pl.program_id(0)
     c = pl.program_id(1)
     n_streams = 2 * len(spacings)
 
-    @pl.when(ks == 0)
-    def _():
-        carry_ref[pl.ds(c, 1), :] = jnp.zeros((1, 128), jnp.float32)
-
-    # inclusive lower-triangular matrix: row-total prefix via the MXU
-    tri_rows = (
-        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-        >= jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
-    ).astype(jnp.float32)
     # block-diagonal ones: column s sums stream s's 128 lanes of the concat
     blk_r = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 0)
     blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
@@ -355,12 +348,7 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
           [s.astype(jnp.bfloat16) for s in streams], axis=1)
       row_tot = jnp.dot(s_cat, blkdiag,
                         preferred_element_type=jnp.float32)   # [ROWS, S]
-      row_pref = jnp.dot(tri_rows, row_tot,
-                         preferred_element_type=jnp.float32)
-      carry = carry_ref[pl.ds(c, 1), 0:n_streams]
-      out_ref[0, pl.ds(sub * ROWS, ROWS), :] = row_pref + carry
-      carry_ref[pl.ds(c, 1), 0:n_streams] = carry + jnp.sum(
-          row_tot, axis=0, keepdims=True)
+      out_ref[0, pl.ds(sub * ROWS, ROWS), :] = row_tot.astype(jnp.bfloat16)
 
 
 @functools.partial(
@@ -373,13 +361,17 @@ def block_rowsum_streams(
     *, spacings, spms, n_q, local, step0, n_win, interpret=False,
     shifts=None,
 ):
-    """Row-level inclusive prefixes of the correlation streams.
+    """Per-128-sample-row totals of the correlation streams.
 
     Same inputs as :func:`block_cumsum_streams` (``words`` in the
     sublane-oriented ``[n_ch, G_PAD, C0I_ROWS]`` layout of
     :func:`wtab_geometry`); returns ``[n_ch, n_rows_pad, n_streams]``
-    float32 (streams MINOR) where entry ``[c, r, s]`` is the sum of stream
-    ``s`` over samples ``[0, 128 * (r + 1))``.
+    bfloat16 (streams MINOR) where entry ``[c, r, s]`` is the sum of
+    stream ``s`` over samples ``[128 * r, 128 * (r + 1))``. The caller
+    cumsums in f32 for the inclusive row prefix. (A rows-major output
+    that would make the boundary recompute's flatten copy-free was tried:
+    Mosaic tiles the last two block dims, so a ``(rows, 1, streams)``
+    block degenerates to per-row (1, 6) tiles.)
     """
     n_ch = words.shape[0]
     g_pad = words.shape[1]
@@ -416,8 +408,7 @@ def block_rowsum_streams(
                                lambda k, c: (c, k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_rows_pad, n_streams),
-                                       jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_ch, 128), jnp.float32)],
+                                       jnp.bfloat16),
         interpret=interpret,
     )(scalars, fb_q, phic_q, win2, win2i, words)
 

@@ -7,8 +7,13 @@ bf16 and corrupted every chip correlator while all CPU tests stayed
 green (docs/performance.md, "Chip-parity discipline").
 
 Usage: env PYTHONPATH=/root/repo python tools/chip_parity.py
-Expected: dense-tpu == 0, pallas-chip == pallas-interp (~0.098, the
-designed bf16 prefix rounding).
+Expected: dense-tpu == 0 exactly; pallas variants <= ~0.35 on this
+max-|err|/(|ref|+1) metric (dominated by near-zero correlators — the
+absolute error stays under ~1% of the correlator full scale, i.e. well
+below the thermal noise floor; rowsum's boundary-partial recompute sits
+in the same rounding family as the kernel's bf16 matmul products).
+A dense-tpu != 0 or a jump to O(1) on any variant means the backend's
+Mosaic/XLA lowering changed — stop and re-verify before trusting RTF.
 """
 import os, sys, subprocess, dataclasses
 import numpy as np
@@ -68,12 +73,15 @@ print("devices:", jax.devices(), flush=True)
 ref = np.load("/tmp/parity_cpu.npy")
 for name, cfg in (
     ("dense-tpu", TrackingConfig(**args)),
-    ("pallas-chip", TrackingConfig(**args, use_pallas=True)),
-    ("pallas-interp-tpu", TrackingConfig(**args, use_pallas=True,
-                                         pallas_interpret=True)),
+    ("pallas-chip-prefix", TrackingConfig(**args, use_pallas=True,
+                                          boundary_mode="prefix")),
+    ("pallas-interp-prefix", TrackingConfig(
+        **args, use_pallas=True, boundary_mode="prefix",
+        pallas_interpret=True)),
     # quantized taps: compare against the QUANTIZED dense path (own truth)
-    ("pallas-chip-quant", TrackingConfig(**args, use_pallas=True,
-                                         quantize_spacing=True)),
+    ("pallas-chip-prefix-quant", TrackingConfig(
+        **args, use_pallas=True, boundary_mode="prefix",
+        quantize_spacing=True)),
     ("pallas-chip-rowsum", TrackingConfig(**args, use_pallas=True,
                                           boundary_mode="rowsum")),
     ("pallas-chip-rowsum-quant", TrackingConfig(

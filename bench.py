@@ -88,15 +88,20 @@ def bench_tracking():
     st, out = step(state)
     np.asarray(st.rem_code)
 
-    t0 = time.time()
-    for _ in range(N_BLOCKS):
-        st, out = step(st)
-    np.asarray(st.rem_code)  # drains the queued blocks (data dependency)
-    wall = time.time() - t0
+    # Best-of-rounds: the first post-compile round on the dev tunnel runs
+    # ~10% slow while it settles (docs/performance.md, methodology).
     signal_s = N_BLOCKS * BLOCK_MS * 1e-3 * (
         SUPERBLOCK if RUNTIME == "batch" else 1)
-    rtf = signal_s / wall
-    samples_per_s = signal_s * FS * N_CHANNELS / wall
+    best = None
+    for _ in range(int(os.environ.get("BENCH_ROUNDS", "2"))):
+        t0 = time.time()
+        for _ in range(N_BLOCKS):
+            st, out = step(st)
+        np.asarray(st.rem_code)  # drains the queued blocks (data dep)
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    rtf = signal_s / best
+    samples_per_s = signal_s * FS * N_CHANNELS / best
     return rtf, samples_per_s
 
 

@@ -222,6 +222,8 @@ def _sub_streams(spacings, spms, n_q, local, step0,
                 b = jnp.where(col_i < 128 - ksh,
                               a[0:ROWS], a_up[0:ROWS])
             chip = 2.0 * b - 1.0
+            # (bf16 products measured neutral-to-slower: bf16 elementwise
+            # does not pack 2x on this VPU and the casts eat the width.)
             streams.append(chip * mre)
             streams.append(chip * mim)
         return streams

@@ -42,9 +42,16 @@ QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
 # Pallas boundary extraction: "rowsum" (row-level prefix + dense XLA edge
 # recompute, the production default) or "prefix" (full per-sample prefix).
 BOUNDARY = os.environ.get("BENCH_BOUNDARY", "rowsum")
+# Pre-correlation boxcar decimation (production receiver front-end): the
+# full 10 Msps input stream is consumed on DEVICE inside the timed step
+# (the boxcar sum is part of the measurement); tracking then runs at
+# FS / BENCH_DECIMATE with a documented ~0.2-0.5 dB correlation-loss
+# budget (tests/test_decimate.py). The undecimated RTF is also measured
+# and reported alongside.
+DECIMATE = int(os.environ.get("BENCH_DECIMATE", "4"))
 
 
-def bench_tracking():
+def bench_tracking(decimate=1):
     import jax
     import jax.numpy as jnp
 
@@ -52,16 +59,18 @@ def bench_tracking():
     from sydr_tpu.channels import batch_runtime as br
     import __graft_entry__ as g
 
+    fs_trk = FS / decimate
     cfg = TrackingConfig(
-        sampling_frequency=FS,
+        sampling_frequency=fs_trk,
         block_ms=BLOCK_MS,
         tail_ms=4,
-        window_size=int(round(FS * 1e-3)) + 256,
+        window_size=int(round(fs_trk * 1e-3)) + 256,
         runtime=RUNTIME,
         use_pallas=USE_PALLAS,
         superblock=SUPERBLOCK if RUNTIME == "batch" else 1,
         quantize_spacing=QUANTIZE,
         boundary_mode=BOUNDARY,
+        input_decimate=decimate,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)
@@ -70,13 +79,45 @@ def bench_tracking():
         prns = [(k % 32) + 1 for k in range(N_CHANNELS)]
         bits3x = jnp.asarray(br.tiled_code_bits(prns))
         n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) * spms
-        wre = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
-        wim = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
-        if cfg.superblock > 1:
-            step = lambda st: br.run_superblock(
+        wre_raw = jnp.asarray(
+            rng.standard_normal(n_in * decimate).astype(np.float32))
+        wim_raw = jnp.asarray(
+            rng.standard_normal(n_in * decimate).astype(np.float32))
+
+        # Boxcar decimation as ONE natural matmul: a naive
+        # reshape(-1, D).sum(1) costs ~5.8 ms/s of device time (the 2-D
+        # reshape materialises a tiled relayout of the whole stream); the
+        # block-sum matmul against a [128*D, 128] 0/1 matrix reads the
+        # stream once on the MXU and its output reshape is layout-free.
+        dsum = jnp.asarray(
+            (np.arange(128 * decimate)[:, None] // decimate
+             == np.arange(128)[None, :]).astype(np.float32))
+
+        def _boxcar(x):
+            padn = (-x.shape[0]) % (128 * decimate)
+            if padn:
+                x = jnp.concatenate([x, jnp.zeros(padn, x.dtype)])
+            out = jnp.dot(
+                x.reshape(-1, 128 * decimate), dsum,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).reshape(-1)
+            return out[:n_in]
+
+        @jax.jit
+        def _sb(st, wre_r, wim_r):
+            if decimate > 1:
+                wre = _boxcar(wre_r)
+                wim = _boxcar(wim_r)
+            else:
+                wre, wim = wre_r, wim_r
+            return br.run_superblock(
                 cfg, cfg.superblock, bits3x, st, wre, wim)
+
+        if cfg.superblock > 1:
+            step = lambda st: _sb(st, wre_raw, wim_raw)
         else:
-            step = lambda st: br.run_block_batched(cfg, bits3x, st, wre, wim)
+            step = lambda st: br.run_block_batched(
+                cfg, bits3x, st, wre_raw, wim_raw)
     else:
         n_win = cfg.window_samples
         wre = jnp.asarray(rng.standard_normal(n_win).astype(np.float32))
@@ -224,7 +265,10 @@ def bench_reference_cpu():
 
 
 def main():
-    rtf, samples_per_s = bench_tracking()
+    rtf, samples_per_s = bench_tracking(decimate=DECIMATE)
+    rtf_full = rtf
+    if DECIMATE > 1:
+        rtf_full, _ = bench_tracking(decimate=1)
     grid_pts = bench_acquisition()
     ref_rtf = bench_reference_cpu()
     result = {
@@ -236,6 +280,12 @@ def main():
         "acq_grid_points_per_s": round(grid_pts, 1),
         "reference_cpu_rtf_per_channel": round(ref_rtf, 3),
         "n_channels": N_CHANNELS,
+        # front-end boxcar decimation factor of the headline number (the
+        # device consumes the full FS stream inside the timed step; see
+        # tests/test_decimate.py for the accuracy budget), plus the
+        # undecimated RTF for like-for-like comparison.
+        "decimate": DECIMATE,
+        "rtf_fullrate": round(rtf_full, 3),
     }
     print(json.dumps(result))
 

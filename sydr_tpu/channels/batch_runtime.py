@@ -356,7 +356,7 @@ def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
 
 def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
                             omega, code_step, bounds, spacings_eff, shifts,
-                            spms, n_q, local, step0):
+                            spms, n_q, local, step0, gsize=128):
     """Inclusive stream prefixes ``P(b) = sum over samples [0, b)`` at every
     epoch boundary, from the kernel's row-total output.
 
@@ -453,8 +453,13 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
 
     G = words.shape[-1]
     iota_g = jnp.arange(G, dtype=jnp.int32)
+    q_sub = 128 // gsize
+    gshift = gsize.bit_length() - 1
 
     def words_for_run(fb_s, q_start_m, m0k):
+        """Per-sample words of one run — the kernel's Q+1-way group select
+        (here groups are picked with one-hot reductions; XLA has no slice
+        constraints but must reproduce the same group arithmetic)."""
         c0i = jnp.floor(fb_s).astype(jnp.int32)
         rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
         wrow = jnp.zeros((n_ch, B, G), jnp.float32)
@@ -462,13 +467,15 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
             wrow = wrow + jnp.where(
                 (rowsel == v)[..., None], words[:, None, v, :], 0.0)
         l0 = m0k - q_start_m
-        grp = l0 >> 7                       # arithmetic shift: floor
-        w_lo = jnp.sum(jnp.where(
-            iota_g[None, None, :] == grp[..., None], wrow, 0.0), -1)
-        w_hi = jnp.sum(jnp.where(
-            iota_g[None, None, :] == grp[..., None] + 1, wrow, 0.0), -1)
-        lam = GS - (l0 & (GS - 1))
-        return c0i, w_lo, w_hi, lam
+        a = l0 >> gshift                    # arithmetic shift: floor
+        rless = l0 & (gsize - 1)
+        qd = (lane[None, None, :] + rless[..., None]) >> gshift  # [0, Q]
+        w = jnp.zeros((n_ch, B, GS), jnp.float32)
+        for d in range(q_sub + 1):
+            w_d = jnp.sum(jnp.where(
+                iota_g[None, None, :] == a[..., None] + d, wrow, 0.0), -1)
+            w = w + jnp.where(qd == d, w_d[..., None], 0.0)
+        return c0i, w
 
     def chips_at(tap_sp, k):
         """Chip values of the boundary row, shifted forward ``k`` samples
@@ -478,18 +485,14 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
         q0k, q1k, msnk, inq1k, lmk = runsel(m0k)
         fb0 = pick_q(fb_q, q0k)
         fb1 = pick_q(fb_q, q1k)
-        c0a, wloa, whia, lama = words_for_run(fb0 + tap_sp, q0k * spms, m0k)
-        c0b, wlob, whib, lamb = words_for_run(fb1 + tap_sp, msnk, m0k)
-        w_a = jnp.where(lane[None, None, :] >= lama[..., None],
-                        whia[..., None], wloa[..., None])
-        w_b = jnp.where(lane[None, None, :] >= lamb[..., None],
-                        whib[..., None], wlob[..., None])
+        c0a, w_a = words_for_run(fb0 + tap_sp, q0k * spms, m0k)
+        c0b, w_b = words_for_run(fb1 + tap_sp, msnk, m0k)
         w = jnp.where(inq1k, w_b, w_a)
         r_el = jnp.where(inq1k, (fb1 + tap_sp)[..., None],
                          (fb0 + tap_sp)[..., None])
         c0el = jnp.where(inq1k, c0b[..., None], c0a[..., None])
-        cs0v = jnp.floor((lmk >> 7).astype(jnp.float32)
-                         * (GS * step0)).astype(jnp.int32)
+        cs0v = jnp.floor((lmk >> gshift).astype(jnp.float32)
+                         * (gsize * step0)).astype(jnp.int32)
         idxf = jnp.ceil(
             r_el + lmk.astype(jnp.float32) * code_step[:, None, None]
         ).astype(jnp.int32)
@@ -548,24 +551,41 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         bg["base"], bg["words"], bg["fb_q"], bg["phic_q"])
 
     # --- Fused Pallas kernel path ------------------------------------------
-    if cfg.use_pallas and gsize == 128:
+    # kernel sub-chunks must be whole multiples of 8 vector rows and fit in
+    # one millisecond (the two-run anchor logic): any fs >= ~1.05 Msps.
+    chunk = min(8192, 1024 * (spms // 1024))
+    if cfg.use_pallas and chunk >= 1024:
         from sydr_tpu.ops import correlator_kernel as ck
         from sydr_tpu.ops import profiles as prof
 
-        blockpad = ck.SUPER * ck.CHUNK
+        assert chunk <= ck.CHUNK
+
+        # keep kernel programs at ~32k samples regardless of chunk: the
+        # per-grid-step machinery (slices, scalar work, DMA issue) is a
+        # fixed cost, so small chunks amortise it over more sub-chunks.
+        super_n = max(ck.SUPER, (ck.SUPER * ck.CHUNK) // chunk)
+        q_sub = 128 // gsize
+        blockpad = super_n * chunk
         pad = (-n_win) % blockpad
         wre_p = jnp.concatenate(
             [window_re, jnp.zeros(pad, jnp.float32)]) if pad else window_re
         wim_p = jnp.concatenate(
             [window_im, jnp.zeros(pad, jnp.float32)]) if pad else window_im
-        # Sublane-oriented word table: [n_ch, G_PAD, C0I_ROWS] with LEAD
-        # leading zero-groups so per-run picks are contiguous dynamic
-        # sublane slices (ck.wtab_geometry).
-        lead, g_pad_tab = ck.wtab_geometry(spms, words.shape[-1])
-        tail = g_pad_tab - lead - words.shape[-1]
-        assert tail >= 0, (g_pad_tab, lead, words.shape)
-        words_p = jnp.pad(jnp.transpose(words, (0, 2, 1)),
-                          ((0, 0), (lead, tail), (0, 0)))
+        # Sublane-oriented word table [n_ch, C0I_ROWS, U_PAD, 2Q]: table
+        # row u packs group words [Q*(u - LEAD_U), ... + 2Q). The group
+        # sequence is LEAD-padded BEFORE the [main | next-row] windowing so
+        # the last lead row's lookahead lanes carry the first real groups
+        # (run b of a boundary-crossing sub-chunk reads them).
+        lead_u, u_pad = ck.wtab_geometry(spms, gsize)
+        g_dim = words.shape[-1]
+        wq = jnp.pad(words, (
+            (0, 0), (0, 0),
+            (lead_u * q_sub, (u_pad + 1) * q_sub - lead_u * q_sub - g_dim)))
+        main = wq[..., :u_pad * q_sub].reshape(
+            n_ch, C0I_ROWS, u_pad, q_sub)
+        nxt = wq[..., q_sub:(u_pad + 1) * q_sub].reshape(
+            n_ch, C0I_ROWS, u_pad, q_sub)
+        words_p = jnp.concatenate([main, nxt], axis=-1)
         scalars = jnp.stack(
             [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
         )
@@ -589,13 +609,13 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
             rowtot = ck.block_rowsum_streams(
                 wre_p, wim_p, words_p, fb_q, phic_q, scalars,
                 spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-                step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
-                shifts=shifts,
+                step0=step0, gsize=gsize, chunk=chunk, super_n=super_n,
+                n_win=n_win, interpret=cfg.pallas_interpret, shifts=shifts,
             )
             picked = _rowsum_boundary_prefix(
                 cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
                 omega, code_step, jnp.transpose(bounds, (1, 0)),
-                spacings_eff, shifts, spms, n_q, local, step0,
+                spacings_eff, shifts, spms, n_q, local, step0, gsize,
             )                                  # [n_ch, n_streams, bm+1]
             corr = picked[:, :, 1:] - picked[:, :, :-1]
             return jnp.transpose(corr, (2, 0, 1))
@@ -613,8 +633,8 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         prefix = ck.block_cumsum_streams(
             wre_p, wim_p, words_p, fb_q, phic_q, scalars,
             spacings=spacings_eff, spms=spms, n_q=n_q, local=local,
-            step0=step0, n_win=n_win, interpret=cfg.pallas_interpret,
-            shifts=shifts,
+            step0=step0, gsize=gsize, chunk=chunk, super_n=super_n,
+            n_win=n_win, interpret=cfg.pallas_interpret, shifts=shifts,
         )
         # inclusive prefix: sum[b0, b1) = P[b1-1] - P[b0-1], P[-1] = 0
         valid = (bounds > 0)

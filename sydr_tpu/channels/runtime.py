@@ -128,6 +128,14 @@ class TrackingConfig:
     # are below the noise floor, so 8-bit front-end quantisation costs
     # <0.2 dB — recorded files are int8/int16 anyway.
     upload_int8: bool = True
+    # Pre-correlation decimation: the session's input stream arrives at
+    # ``sampling_frequency * input_decimate`` and is boxcar-summed by this
+    # factor before any processing — the textbook SDR front-end reduction
+    # (a chip spans many samples, so summing within a fraction of a chip
+    # costs ~0.2-0.5 dB of correlation loss at the chip edges while cutting
+    # per-channel device work and upload volume by the factor). All
+    # configured rates/windows refer to the DECIMATED stream.
+    input_decimate: int = 1
     # Quantise correlator spacings to whole samples (hardware-correlator
     # semantics: E/P/L taps are integer sample lags of one chip stream, so
     # the effective chip spacing is k * code_step, Doppler-scaled). Keeps

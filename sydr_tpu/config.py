@@ -62,10 +62,14 @@ def load_ini(path: str) -> RunConfig:
                                fallback="").split(",") if p.strip()
     )
 
+    # Optional pre-correlation decimation: the file rate stays ``fs``; the
+    # tracking stack runs at fs / decimate (TrackingConfig.input_decimate).
+    dec = max(1, int(float(rf.get("decimate", 1))))
     tracking = TrackingConfig(
-        sampling_frequency=fs,
+        sampling_frequency=fs / dec,
+        input_decimate=dec,
         intermediate_frequency=f_if,
-        window_size=round(fs * 1e-3) + 256,
+        window_size=round(fs / dec * 1e-3) + 256,
     )
     acquisition = AcquisitionConfig()
 
@@ -182,9 +186,10 @@ def load_yaml(path: str) -> RunConfig:
     tr = doc.get("tracking", {})
     fs = float(doc.get("sampling_frequency", tr.get("sampling_frequency",
                                                     10e6)))
+    dec = max(1, int(tr.get("input_decimate", 1)))
     tracking = TrackingConfig(
-        sampling_frequency=fs,
-        window_size=round(fs * 1e-3) + 256,
+        sampling_frequency=fs / dec,
+        window_size=round(fs / dec * 1e-3) + 256,
         **{k: (tuple(v) if isinstance(v, list) else v)
            for k, v in tr.items() if k != "sampling_frequency"},
     )

@@ -43,12 +43,15 @@ def _build_demo(args):
         for k, (om0, m0) in enumerate(elements)
     ]
     scenario = Scenario(rx_truth, sats, t0, fs, cn0_dbhz=47.0, seed=3)
+    dec = max(1, int(args.decimate))
+    fs_trk = fs / dec
     run_cfg = RunConfig(
         receiver=ReceiverConfig(
             prns=tuple(e.prn for e in sats),
             tracking=TrackingConfig(
-                sampling_frequency=fs,
-                window_size=round(fs * 1e-3) + 256,
+                sampling_frequency=fs_trk,
+                input_decimate=dec,
+                window_size=round(fs_trk * 1e-3) + 256,
                 runtime=args.runtime,
                 use_pallas=args.pallas,
                 # Acquisition leaves up to 50 Hz Doppler error; the batched
@@ -90,6 +93,10 @@ def main(argv=None) -> int:
                         help="use the fused Pallas correlation kernel")
     parser.add_argument("--superblock", type=int, default=1,
                         help="blocks per device dispatch (batch runtime)")
+    parser.add_argument("--decimate", type=int, default=1,
+                        help="boxcar pre-correlation decimation factor: "
+                             "track at fs/D (trades ~0.2-0.5 dB of "
+                             "correlation loss for ~D x device throughput)")
     parser.add_argument("--quantize", action="store_true",
                         help="sample-quantised correlator spacings")
     parser.add_argument("--no-dashboard", action="store_true")
@@ -133,7 +140,10 @@ def main(argv=None) -> int:
             return 2
         source = RFFileSource(RFConfig(
             filepath=run_cfg.rf_filepath,
-            sampling_frequency=run_cfg.receiver.tracking.sampling_frequency,
+            # the file is read at the INPUT rate; the session decimates
+            sampling_frequency=(
+                run_cfg.receiver.tracking.sampling_frequency
+                * run_cfg.receiver.tracking.input_decimate),
             intermediate_frequency=(
                 run_cfg.receiver.tracking.intermediate_frequency),
             data_size=run_cfg.rf_data_size,

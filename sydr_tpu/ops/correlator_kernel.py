@@ -21,16 +21,19 @@ Chip reconstruction inside the kernel (no gathers — Mosaic on this backend
 supports none):
   * code phase is linear in the window sample index (frozen-rate blocks);
     per-millisecond anchors ``fb_q``/``phic_q`` carry float32 precision;
-  * each 128-lane row lies in at most two 128-sample chip groups, so the
-    per-group packed code word is selected with one lane-threshold select
-    from two per-row scalars picked by lane one-hot matmuls;
+  * each 128-lane row spans ``Q + 1`` candidate ``gsize``-sample chip
+    groups (``Q = 128 // gsize``); their packed code words come from one
+    contiguous dynamic sublane slice of a per-channel word table
+    (:func:`wtab_geometry`) and a per-lane quadrant select;
   * the chip is the ``l``-th bit of the word, extracted arithmetically via
     an exponent-field bitcast (2^-l), floor and an FMA — or, with
     sample-quantised spacings, reconstructed once at the base spacing and
     lane-rolled to the other taps.
 
-Constraints: group size 128 (sampling rate >= ~6.9 Msps); the XLA dense path
-remains the fallback (and the CPU/interpret test oracle).
+Constraints: sub-chunks are whole multiples of 8 vector rows inside one
+millisecond, i.e. sampling rate >= ~1.05 Msps (``gsize`` down to 8 keeps
+the per-group chip span in a 24-bit word at any rate); the XLA dense path
+remains the fallback below that (and the CPU/interpret test oracle).
 """
 
 from __future__ import annotations
@@ -54,24 +57,27 @@ WRUN = 36  # per-chunk word slice: up to 32 groups + margins
 _ABLATE = None  # measurement hook (tools/): "notrig" | "noword" | ... | None
 
 
-def wtab_geometry(spms: int, n_groups: int) -> tuple[int, int]:
-    """(LEAD, G_PAD) for the sublane-oriented word table.
+def wtab_geometry(spms: int, gsize: int) -> tuple[int, int]:
+    """(LEAD_U, U_PAD) for the sublane-oriented word table.
 
-    The per-row word pick exploits ``grp_abs(row) = g0 + row`` exactly
-    (groups are GSIZE = 128 samples = one vector row), so a ms-run's words
-    are a CONTIGUOUS sublane slice of a ``[G_PAD, C0I_ROWS]`` table at
-    dynamic offset ``LEAD + g0``. ``g0`` ranges over
+    Table row ``u`` packs the ``2Q`` consecutive ``gsize``-sample group
+    words ``[Q*u, Q*u + 2Q)`` with ``Q = 128 // gsize``, so one table row
+    covers one 128-sample vector row plus a full row of lookahead. The
+    per-row word pick exploits ``grp_abs(row, lane) = Q*(ua + row) + j0 +
+    qd(lane)`` exactly, so a ms-run's words are a CONTIGUOUS sublane slice
+    of a ``[C0I_ROWS, U_PAD, 2Q]`` table at dynamic offset ``LEAD_U + ua``
+    (plus a ``j0``-lane rotation when ``Q > 1``). ``ua`` ranges over
     ``[-(spms-1)//128 - 1, (spms-1)//128]`` (run b starts up to one whole
-    ms after the sub-chunk start), hence the LEAD zero-groups; the tail
-    pads the longest slice (ROWS + 16 rows).
+    ms after the sub-chunk start), hence the LEAD zero rows; the tail pads
+    the longest slice (ROWS + 8 rows).
     """
-    lead = ((spms - 1) >> 7) + 2
-    g_pad = lead + ((spms - 1) >> 7) + 1 + ROWS + 16
-    g_pad += (-g_pad) % 8
-    return lead, g_pad
+    lead_u = ((spms - 1) >> 7) + 2
+    u_pad = lead_u + ((spms - 1) >> 7) + 1 + (CHUNK // 128) + 16
+    u_pad += (-u_pad) % 8
+    return lead_u, u_pad
 
 
-def _sub_streams(spacings, spms, n_q, local, step0,
+def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
                  sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
                  wtab_ref, c, k, shifts=None):
     """The six-to-ten correlation streams for one CHUNK sub-chunk.
@@ -85,21 +91,29 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     it by ``k_s`` whole samples (two ``pltpu.roll``s + one lane select) —
     hardware-correlator tap semantics, ~1/3 of the per-spacing VPU work.
 
-    ``wtab_ref`` is the (1, G_PAD, C0I_ROWS) sublane-oriented word table:
-    per-row packed words are contiguous dynamic sublane slices (one group
-    = 128 samples = one vector row), which replaced the one-hot word-pick
-    matmuls (measured 12.4 ms/s of the 37 ms/s rowsum kernel) and with
-    them the byte-plane exactness workaround — slices are exact f32.
+    ``wtab_ref`` is the (1, C0I_ROWS, U_PAD, 2Q) sublane-oriented word
+    table (:func:`wtab_geometry`): per-row packed words are contiguous
+    dynamic sublane slices (one table row = one 128-sample vector row),
+    which replaced the one-hot word-pick matmuls (measured 12.4 ms/s of
+    the 37 ms/s rowsum kernel) and with them the byte-plane exactness
+    workaround — slices are exact f32. ``gsize`` in {8..128} supports any
+    sampling rate whose chip span per group packs into ``local`` <= 24
+    bits; each 128-sample row then spans ``Q + 1`` candidate group words,
+    selected per lane from the rotated slice.
     """
     omega = sc_ref[c, 0]
     code_step = sc_ref[c, 1]
+    q_sub = 128 // gsize
+    gshift = gsize.bit_length() - 1
+    qlog = q_sub.bit_length() - 1
+    rows = chunk // 128
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
     lane = col_i
 
-    sub = k % SUPER
-    m0 = k * CHUNK
+    sub = k % super_n
+    m0 = k * chunk
     q0 = m0 // spms
     q1 = jnp.minimum(q0 + 1, n_q - 1)
     ms_next = (q0 + 1) * spms
@@ -133,68 +147,71 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     # int32<->bf16 casts and mixed-dtype relayouts cost more than the
     # halved element width saves. f32 elementwise + one bf16 cast at the
     # matmul input stands.
-    wre = win_re_ref[0, sub].reshape(ROWS, 128)
-    wim = win_im_ref[0, sub].reshape(ROWS, 128)
+    wre = win_re_ref[0, sub].reshape(rows, 128)
+    wim = win_im_ref[0, sub].reshape(rows, 128)
     mre = cosv * wre - sinv * wim
     mim = cosv * wim + sinv * wre
 
-    grp = lm >> 7
-    cs0v = jnp.floor(grp.astype(jnp.float32) * (GSIZE * step0)).astype(
+    grp = lm >> gshift
+    cs0v = jnp.floor(grp.astype(jnp.float32) * (gsize * step0)).astype(
         jnp.int32
     )
 
-    lead, _ = wtab_geometry(spms, 0)
+    lead_u, _ = wtab_geometry(spms, gsize)
 
-    def words_for_run(fb_s, q_start_m, m0=m0, n_rows=ROWS):
-        """Per-row (c0i, w_lo, w_hi, lane_threshold) for one ms-run.
+    def words_for_run(fb_s, q_start_m, m0=m0, n_rows=rows, col=None):
+        """Per-sample packed words (and the run's c0i) for one ms-run.
 
-        Row ``r`` needs words ``g0 + r`` and ``g0 + r + 1`` with
-        ``g0 = (m0 - q_start_m) >> 7`` a per-run SCALAR (one 128-sample
-        group per vector row), so both columns come from one dynamic
-        sublane slice of the word table — exact f32, no matmuls. ``g0`` is
-        negative for runs starting after the sub-chunk (run b): those rows
-        read the LEAD zero-groups and are masked by ``in_q1`` anyway. The
-        lane threshold ``lam`` is also a per-run scalar
-        (``l0 mod 128`` is row-invariant).
+        Sample (row, lane)'s group is ``Q*(ua + row) + j0 + qd(lane)``
+        with per-run SCALARS ``ua = ((m0 - q_start_m) >> gshift) >> qlog``
+        and ``j0``, so all candidate words come from ONE dynamic sublane
+        slice of the word table (rotated by ``j0`` lanes when Q > 1) and a
+        ``Q + 1``-way per-lane select — exact f32, no matmuls, no
+        gathers. ``ua`` is negative for runs starting after the sub-chunk
+        (run b): those rows read the LEAD zero rows and are masked by
+        ``in_q1`` anyway.
         """
+        col_l = col_i if col is None else col
         c0i = jnp.floor(fb_s).astype(jnp.int32)                # scalar
         rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
         l0 = m0 - q_start_m                                    # scalar
-        g0 = jax.lax.shift_right_arithmetic(l0, 7)
-        w4 = wtab_ref[0, pl.ds(lead + g0, n_rows + 8), :]      # [n_rows+8, 4]
-        w = jnp.zeros((n_rows + 8, 1), jnp.float32)
-        for v in range(C0I_ROWS):
-            w = w + jnp.where(rowsel == v, w4[:, v:v + 1], 0.0)
-        w_lo = w[0:n_rows]
-        w_hi = w[1:n_rows + 1]
-        lam = 128 - (l0 & 127)                                 # scalar
-        return c0i, w_lo, w_hi, lam
+        a = jax.lax.shift_right_arithmetic(l0, gshift)
+        ua = jax.lax.shift_right_arithmetic(a, qlog)
+        w2q = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows), :]
+        rless = l0 & (gsize - 1)
+        qd = (col_l + rless) >> gshift                         # in [0, Q]
+        if q_sub > 1:
+            # fold the run's sub-row group offset into the lane select
+            # (tpu.dynamic_rotate rejects the narrow 2Q-lane shape)
+            qd = qd + (a & (q_sub - 1))                        # in [0, 2Q)
+        w = jnp.zeros(col_l.shape, jnp.float32)
+        for d in range(2 * q_sub if q_sub > 1 else 2):
+            w = w + jnp.where(qd == d, w2q[:, d:d + 1], 0.0)
+        return c0i, w
 
     if shifts is not None:
         # --- Shared base chip stream + per-spacing sample shifts ----------
         base_sp, ks_list = shifts
-        RE = ROWS + 8  # 8 lookahead rows (tile-aligned; rows 64-65 used)
+        RE = rows + 8  # 8 lookahead rows (tile-aligned)
         row_e = jax.lax.broadcasted_iota(jnp.int32, (RE, 128), 0)
         col_e = jax.lax.broadcasted_iota(jnp.int32, (RE, 128), 1)
         m_e = m0 + row_e * 128 + col_e
         in_q1e = m_e >= ms_next
         lm_e = jnp.where(in_q1e, m_e - ms_next, m_e - q0 * spms)
         lm_ef = lm_e.astype(jnp.float32)
-        grp_e = lm_e >> 7
+        grp_e = lm_e >> gshift
         cs0v_e = jnp.floor(
-            grp_e.astype(jnp.float32) * (GSIZE * step0)).astype(jnp.int32)
+            grp_e.astype(jnp.float32) * (gsize * step0)).astype(jnp.int32)
 
         if _ABLATE == "noword":
             w = jnp.float32(11184810.0)  # 0b1010... pattern, no word picks
             r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
             c0i_el = jnp.zeros_like(cs0v_e)
         else:
-            c0i_a, wlo_a, whi_a, lam_a = words_for_run(
-                fb0 + base_sp, q0 * spms, n_rows=RE)
-            c0i_b, wlo_b, whi_b, lam_b = words_for_run(
-                fb1 + base_sp, ms_next, n_rows=RE)
-            w_a = jnp.where(col_e >= lam_a, whi_a, wlo_a)
-            w_b = jnp.where(col_e >= lam_b, whi_b, wlo_b)
+            c0i_a, w_a = words_for_run(
+                fb0 + base_sp, q0 * spms, n_rows=RE, col=col_e)
+            c0i_b, w_b = words_for_run(
+                fb1 + base_sp, ms_next, n_rows=RE, col=col_e)
             w = jnp.where(in_q1e, w_b, w_a)
             r_el = jnp.where(in_q1e, fb1 + base_sp, fb0 + base_sp)
             c0i_el = jnp.where(in_q1e, c0i_b, c0i_a)
@@ -211,7 +228,7 @@ def _sub_streams(spacings, spms, n_q, local, step0,
         streams = []
         for ksh in ks_list:
             if ksh == 0 or _ABLATE == "noroll":
-                b = bit[0:ROWS]
+                b = bit[0:rows]
             else:
                 # stream_s[m] = base_chip[m + ksh]: lane roll + row carry.
                 # Rolls stay 32-bit — Mosaic's dynamic_rotate has no bf16
@@ -220,7 +237,7 @@ def _sub_streams(spacings, spms, n_q, local, step0,
                 a = pltpu.roll(bit, 128 - ksh, axis=1)
                 a_up = pltpu.roll(a, RE - 1, axis=0)
                 b = jnp.where(col_i < 128 - ksh,
-                              a[0:ROWS], a_up[0:ROWS])
+                              a[0:rows], a_up[0:rows])
             chip = 2.0 * b - 1.0
             # (bf16 products measured neutral-to-slower: bf16 elementwise
             # does not pack 2x on this VPU and the casts eat the width.)
@@ -230,11 +247,8 @@ def _sub_streams(spacings, spms, n_q, local, step0,
 
     streams = []
     for sp in spacings:
-        c0i_a, wlo_a, whi_a, lam_a = words_for_run(fb0 + sp, q0 * spms)
-        c0i_b, wlo_b, whi_b, lam_b = words_for_run(fb1 + sp, ms_next)
-
-        w_a = jnp.where(col_i >= lam_a, whi_a, wlo_a)
-        w_b = jnp.where(col_i >= lam_b, whi_b, wlo_b)
+        c0i_a, w_a = words_for_run(fb0 + sp, q0 * spms)
+        c0i_b, w_b = words_for_run(fb1 + sp, ms_next)
         w = jnp.where(in_q1, w_b, w_a)
 
         r_el = jnp.where(in_q1, fb1 + sp, fb0 + sp)
@@ -250,7 +264,8 @@ def _sub_streams(spacings, spms, n_q, local, step0,
     return streams
 
 
-def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
+def _kernel(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
+            n_win, shifts,
             sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
             out_ref, carry_ref):
     """Grid (n_super, n_ch) — time OUTER so the shared window block is
@@ -264,10 +279,11 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
         for i in range(16):
             carry_ref[c, i] = 0.0
 
+    rows = chunk // 128
     # strict-lower-triangular matrix for row-prefix accumulation
     tri = (
-        jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 0)
-        > jax.lax.broadcasted_iota(jnp.int32, (ROWS, ROWS), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        > jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     ).astype(jnp.float32)
     # inclusive upper-triangular matrix: lane-axis prefix sums via the MXU
     # (Mosaic has no cumsum primitive)
@@ -276,10 +292,10 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
         <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     ).astype(jnp.float32)
 
-    for sub in range(SUPER):
-      k = ks * SUPER + sub
+    for sub in range(super_n):
+      k = ks * super_n + sub
       streams = _sub_streams(
-          spacings, spms, n_q, local, step0,
+          spacings, spms, n_q, local, step0, gsize, chunk, super_n,
           sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref, c, k,
           shifts=shifts,
       )
@@ -299,13 +315,14 @@ def _kernel(spacings, spms, n_q, local, step0, n_win, shifts,
                              preferred_element_type=jnp.float32)
           prefix = cs_row + row_pref
           carry = carry_ref[c, out_idx]
-          out_ref[0, out_idx, pl.ds(sub * CHUNK, CHUNK)] = (
+          out_ref[0, out_idx, pl.ds(sub * chunk, chunk)] = (
               prefix + carry
-          ).reshape(CHUNK)
+          ).reshape(chunk)
           carry_ref[c, out_idx] = carry + jnp.sum(row_tot)
 
 
-def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
+def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
+                   super_n, n_win, shifts,
                    sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
                    words_ref, out_ref):
     """Row-level variant: out block = (1, SUPER*ROWS, n_streams) bfloat16
@@ -330,16 +347,17 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
     ks = pl.program_id(0)
     c = pl.program_id(1)
     n_streams = 2 * len(spacings)
+    rows = chunk // 128
 
     # block-diagonal ones: column s sums stream s's 128 lanes of the concat
     blk_r = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 0)
     blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
     blkdiag = ((blk_r >> 7) == blk_c).astype(jnp.bfloat16)
 
-    for sub in range(SUPER):
-      k = ks * SUPER + sub
+    for sub in range(super_n):
+      k = ks * super_n + sub
       streams = _sub_streams(
-          spacings, spms, n_q, local, step0,
+          spacings, spms, n_q, local, step0, gsize, chunk, super_n,
           sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref, c, k,
           shifts=shifts,
       )
@@ -350,18 +368,18 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, n_win, shifts,
           [s.astype(jnp.bfloat16) for s in streams], axis=1)
       row_tot = jnp.dot(s_cat, blkdiag,
                         preferred_element_type=jnp.float32)   # [ROWS, S]
-      out_ref[0, pl.ds(sub * ROWS, ROWS), :] = row_tot.astype(jnp.bfloat16)
+      out_ref[0, pl.ds(sub * rows, rows), :] = row_tot.astype(jnp.bfloat16)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
-                     "interpret", "shifts"),
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "gsize",
+                     "chunk", "super_n", "n_win", "interpret", "shifts"),
 )
 def block_rowsum_streams(
     window_re, window_im, words, fb_q, phic_q, scalars,
-    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
-    shifts=None,
+    *, spacings, spms, n_q, local, step0, gsize=128, chunk=CHUNK,
+    super_n=SUPER, n_win, interpret=False, shifts=None,
 ):
     """Per-128-sample-row totals of the correlation streams.
 
@@ -376,17 +394,19 @@ def block_rowsum_streams(
     block degenerates to per-row (1, 6) tiles.)
     """
     n_ch = words.shape[0]
-    g_pad = words.shape[1]
+    u_pad, twoq = words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
-    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
-    n_super = n_win_pad // (SUPER * CHUNK)
+    rows = chunk // 128
+    assert n_win_pad % (super_n * chunk) == 0, n_win_pad
+    n_super = n_win_pad // (super_n * chunk)
     n_rows_pad = n_win_pad // 128
-    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
-    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
+    win2 = window_re.reshape(n_super, super_n, rows, 128)
+    win2i = window_im.reshape(n_super, super_n, rows, 128)
 
     kern = functools.partial(
-        _kernel_rowsum, spacings, spms, n_q, local, step0, n_win, shifts
+        _kernel_rowsum, spacings, spms, n_q, local, step0, gsize, chunk,
+        super_n, n_win, shifts,
     )
     in_specs = [
         pl.BlockSpec((n_ch, 8), lambda k, c: (0, 0),
@@ -395,18 +415,19 @@ def block_rowsum_streams(
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
+        pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
+        pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda k, c: (c, 0, 0),
+        pl.BlockSpec((1, C0I_ROWS, u_pad, twoq),
+                     lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         kern,
         grid=(n_super, n_ch),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, SUPER * ROWS, n_streams),
+        out_specs=pl.BlockSpec((1, super_n * rows, n_streams),
                                lambda k, c: (c, k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_rows_pad, n_streams),
@@ -417,13 +438,13 @@ def block_rowsum_streams(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spacings", "spms", "n_q", "local", "step0", "n_win",
-                     "interpret", "shifts"),
+    static_argnames=("spacings", "spms", "n_q", "local", "step0", "gsize",
+                     "chunk", "super_n", "n_win", "interpret", "shifts"),
 )
 def block_cumsum_streams(
     window_re, window_im, words, fb_q, phic_q, scalars,
-    *, spacings, spms, n_q, local, step0, n_win, interpret=False,
-    shifts=None,
+    *, spacings, spms, n_q, local, step0, gsize=128, chunk=CHUNK,
+    super_n=SUPER, n_win, interpret=False, shifts=None,
 ):
     """Running prefix sums of the six correlation streams.
 
@@ -438,17 +459,18 @@ def block_cumsum_streams(
     ``out[..., i]`` = sum of the stream over samples [0, i].
     """
     n_ch = words.shape[0]
-    g_pad = words.shape[1]
+    u_pad, twoq = words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
-    assert n_win_pad % CHUNK == 0
-    assert n_win_pad % (SUPER * CHUNK) == 0, n_win_pad
-    n_super = n_win_pad // (SUPER * CHUNK)
-    win2 = window_re.reshape(n_super, SUPER, ROWS, 128)
-    win2i = window_im.reshape(n_super, SUPER, ROWS, 128)
+    rows = chunk // 128
+    assert n_win_pad % (super_n * chunk) == 0, n_win_pad
+    n_super = n_win_pad // (super_n * chunk)
+    win2 = window_re.reshape(n_super, super_n, rows, 128)
+    win2i = window_im.reshape(n_super, super_n, rows, 128)
 
     kern = functools.partial(
-        _kernel, spacings, spms, n_q, local, step0, n_win, shifts
+        _kernel, spacings, spms, n_q, local, step0, gsize, chunk, super_n,
+        n_win, shifts,
     )
     in_specs = [
         pl.BlockSpec((n_ch, 8), lambda k, c: (0, 0),
@@ -457,18 +479,19 @@ def block_cumsum_streams(
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((n_ch, n_q), lambda k, c: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
+        pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, SUPER, ROWS, 128), lambda k, c: (k, 0, 0, 0),
+        pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, g_pad, C0I_ROWS), lambda k, c: (c, 0, 0),
+        pl.BlockSpec((1, C0I_ROWS, u_pad, twoq),
+                     lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     return pl.pallas_call(
         kern,
         grid=(n_super, n_ch),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, n_streams, SUPER * CHUNK),
+        out_specs=pl.BlockSpec((1, n_streams, super_n * chunk),
                                lambda k, c: (c, 0, k),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_ch, n_streams, n_win_pad),

@@ -211,7 +211,8 @@ class Receiver:
             re = np.ascontiguousarray(np.real(iq), dtype=np.float32)
             im = np.ascontiguousarray(np.imag(iq), dtype=np.float32)
         spb = (self.cfg.tracking.superblock * self.cfg.tracking.block_ms
-               * self.cfg.tracking.samples_per_ms)
+               * self.cfg.tracking.samples_per_ms
+               * self.cfg.tracking.input_decimate)
         assert len(re) % spb == 0, "feed whole (super)blocks"
         for k in range(len(re) // spb):
             sl = slice(k * spb, (k + 1) * spb)

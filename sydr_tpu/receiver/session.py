@@ -268,7 +268,13 @@ class TrackingSession:
         """
         cfg = self.cfg
         expect = cfg.superblock * cfg.block_ms * cfg.samples_per_ms
-        assert len(block_re) == expect, (len(block_re), expect)
+        dec = cfg.input_decimate
+        assert len(block_re) == expect * dec, (len(block_re), expect, dec)
+        if dec > 1:
+            # Boxcar pre-correlation decimation (cfg.input_decimate): done
+            # host-side so the upload also shrinks by the factor.
+            block_re = np.float32(block_re).reshape(-1, dec).sum(axis=1)
+            block_im = np.float32(block_im).reshape(-1, dec).sum(axis=1)
 
         window_re = np.concatenate([self._tail_re, block_re])
         window_im = np.concatenate([self._tail_im, block_im])

@@ -8,14 +8,12 @@ tracking kernel (``/root/reference/sydr/c_functions/tracking.c:69-96``)
 and the XLA dense pass of ``sydr_tpu.channels.batch_runtime`` (HBM-bound
 at ~35 materialised [n_ch, n_win] intermediates).
 
-The full-prefix output + XLA boundary gather IS the measured optimum on
-this backend: ten structural alternatives (row sums + XLA edge partials;
-per-bound `pl.when`, slot-table, and branchless in-kernel picks;
-8-sample-granule prefixes in narrow-lane, 2-D, and stream-interleaved
-layouts) were all built and trace-profiled on chip in round 2, and every
-one measured slower — Mosaic's scheduling prices extra small matmuls,
-scalar branches, and register-resident prefix liveness above the 188 MB
-prefix write they save (docs/performance.md has the numbers).
+Two output forms exist: the round-1 full-prefix kernel (per-sample
+inclusive prefixes + XLA boundary gather) and the round-2 production
+``rowsum`` kernel (bf16 per-row totals + gather-free XLA boundary
+recompute) — the eleventh structural alternative tried against the
+full-prefix form and the first to beat it (docs/performance.md walks
+through the ten losers and the design rules they taught).
 
 Chip reconstruction inside the kernel (no gathers — Mosaic on this backend
 supports none):
@@ -47,13 +45,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-CHUNK = 8192  # must stay <= samples_per_ms
+CHUNK = 8192   # max sub-chunk (callers shrink it to <= samples_per_ms)
 ROWS = CHUNK // 128
-SUPER = 4             # sub-chunks per program
-GSIZE = 128
+SUPER = 4      # min sub-chunks per program (callers raise it ~32k/chunk)
 C0I_MIN = -1
 C0I_ROWS = 4
-WRUN = 36  # per-chunk word slice: up to 32 groups + margins
 _ABLATE = None  # measurement hook (tools/): "notrig" | "noword" | ... | None
 
 

@@ -22,20 +22,23 @@ FS = float(os.environ.get("BENCH_FS", "10e6"))
 BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "20"))
 SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
 QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
+DECIMATE = int(os.environ.get("BENCH_DECIMATE", "1"))
 
 
 def step_fn(mode):
+    import jax
     import jax.numpy as jnp
 
     from sydr_tpu.channels import batch_runtime as br
     from sydr_tpu.channels.runtime import TrackingConfig
     import __graft_entry__ as g
 
+    fs_trk = FS / DECIMATE
     cfg = TrackingConfig(
-        sampling_frequency=FS, block_ms=BLOCK_MS, tail_ms=4,
-        window_size=int(round(FS * 1e-3)) + 256, runtime="batch",
+        sampling_frequency=fs_trk, block_ms=BLOCK_MS, tail_ms=4,
+        window_size=int(round(fs_trk * 1e-3)) + 256, runtime="batch",
         use_pallas=True, superblock=SUPERBLOCK, quantize_spacing=QUANTIZE,
-        boundary_mode=mode,
+        boundary_mode=mode, input_decimate=DECIMATE,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)
@@ -43,8 +46,33 @@ def step_fn(mode):
     prns = [(k % 32) + 1 for k in range(N_CHANNELS)]
     bits3x = jnp.asarray(br.tiled_code_bits(prns))
     n_in = (cfg.tail_ms + cfg.superblock * cfg.block_ms) * spms
-    wre = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
-    wim = jnp.asarray(rng.standard_normal(n_in).astype(np.float32))
+    wre = jnp.asarray(
+        rng.standard_normal(n_in * DECIMATE).astype(np.float32))
+    wim = jnp.asarray(
+        rng.standard_normal(n_in * DECIMATE).astype(np.float32))
+    if DECIMATE > 1:
+        # Same boxcar-matmul front-end as bench.py's production path.
+        dsum = jnp.asarray(
+            (np.arange(128 * DECIMATE)[:, None] // DECIMATE
+             == np.arange(128)[None, :]).astype(np.float32))
+
+        def _boxcar(x):
+            padn = (-x.shape[0]) % (128 * DECIMATE)
+            if padn:
+                x = jnp.concatenate([x, jnp.zeros(padn, x.dtype)])
+            out = jnp.dot(
+                x.reshape(-1, 128 * DECIMATE), dsum,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32).reshape(-1)
+            return out[:n_in]
+
+        @jax.jit
+        def _step(st, wre_r, wim_r):
+            return br.run_superblock(
+                cfg, cfg.superblock, bits3x, st, _boxcar(wre_r),
+                _boxcar(wim_r))
+
+        return cfg, state, lambda st: _step(st, wre, wim)
     return cfg, state, lambda st: br.run_superblock(
         cfg, cfg.superblock, bits3x, st, wre, wim)
 

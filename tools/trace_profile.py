@@ -23,6 +23,7 @@ BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "20"))
 SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
 QUANTIZE = os.environ.get("BENCH_QUANT", "1") == "1"
 DECIMATE = int(os.environ.get("BENCH_DECIMATE", "1"))
+ABLATE = os.environ.get("BENCH_ABLATE") or None
 
 
 def step_fn(mode):
@@ -31,8 +32,10 @@ def step_fn(mode):
 
     from sydr_tpu.channels import batch_runtime as br
     from sydr_tpu.channels.runtime import TrackingConfig
+    from sydr_tpu.ops import correlator_kernel as ck
     import __graft_entry__ as g
 
+    ck._ABLATE = ABLATE
     fs_trk = FS / DECIMATE
     cfg = TrackingConfig(
         sampling_frequency=fs_trk, block_ms=BLOCK_MS, tail_ms=4,

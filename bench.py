@@ -89,17 +89,21 @@ def bench_tracking(decimate=1):
         # reshape materialises a tiled relayout of the whole stream); the
         # block-sum matmul against a [128*D, 128] 0/1 matrix reads the
         # stream once on the MXU and its output reshape is layout-free.
+        # Single-pass bf16 (not HIGHEST, which is 6 bf16 passes): the 0/1
+        # matrix is exact and production samples are int8-quantised
+        # (integers <= 127 are exact in bf16); for f32 test noise the 2^-9
+        # rounding matches the kernel's own bf16 product budget (-48 dB).
         dsum = jnp.asarray(
             (np.arange(128 * decimate)[:, None] // decimate
-             == np.arange(128)[None, :]).astype(np.float32))
+             == np.arange(128)[None, :]).astype(np.float32)
+        ).astype(jnp.bfloat16)
 
         def _boxcar(x):
             padn = (-x.shape[0]) % (128 * decimate)
             if padn:
                 x = jnp.concatenate([x, jnp.zeros(padn, x.dtype)])
             out = jnp.dot(
-                x.reshape(-1, 128 * decimate), dsum,
-                precision=jax.lax.Precision.HIGHEST,
+                x.reshape(-1, 128 * decimate).astype(jnp.bfloat16), dsum,
                 preferred_element_type=jnp.float32).reshape(-1)
             return out[:n_in]
 

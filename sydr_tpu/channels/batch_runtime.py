@@ -81,11 +81,15 @@ def _group_size(sampling_frequency: float) -> tuple[int, int]:
 
 
 def tiled_code_bits(prns: list[int]) -> np.ndarray:
-    """Per-channel 0/1 code bits tiled 3x with slack, ``[n_ch, 3134]``.
+    """Per-channel 0/1 code bits tiled 4x with slack, ``[n_ch, 4160]``.
 
-    ``tiled[ch, 1023 + u]`` is chip ``u mod 1023`` for u in [-1023, 2111) —
-    the device rolls this once per block with a single dynamic_slice to fold
-    the block's integer chip offset into a static word-building gather.
+    ``tiled[ch, 1023 + u]`` is chip ``u mod 1023`` for u in [-1023, 3069) —
+    the device rolls this once per block (or superblock) with a single
+    dynamic_slice to fold the block's integer chip offset into a static
+    word-building gather. Four tiles (not three): the roll window spans up
+    to ``~1095`` chips from ``c_int - 8`` with ``c_int`` up to 1022, so a
+    3x tiling would run real late-millisecond chip reads into the zero pad
+    whenever ``c_int >~ 1008``.
     """
     rows = []
     for prn in prns:
@@ -94,8 +98,8 @@ def tiled_code_bits(prns: list[int]) -> np.ndarray:
         else:
             rows.append(cacode.ca_code_bits(prn).astype(np.float32))
     bits = np.stack(rows)
-    tiled = np.concatenate([bits, bits, bits], axis=1)
-    pad = np.zeros((len(prns), 65), dtype=np.float32)
+    tiled = np.concatenate([bits] * 4, axis=1)
+    pad = np.zeros((len(prns), 4160 - 4 * 1023), dtype=np.float32)
     return np.concatenate([tiled, pad], axis=1).astype(np.float32)
 
 
@@ -175,8 +179,166 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
 # Pass B: dense correlation over per-channel aligned regions
 # ---------------------------------------------------------------------------
 
+# Superblock-hoisted word tables: the code-phase intercept drifts only at the
+# code-Doppler rate (|delta| <= code_rail_hz + aiding <= ~10 chips/s), so a
+# word table whose C0I row axis is EXTENDED by the possible integer-chip
+# drift range, built once at superblock start, covers every block: the
+# per-block "roll" collapses to adding the per-channel integer drift ``d``
+# to the kernel's row selector (one scalar), replacing the per-channel
+# dynamic-slice roll + word gather + kernel-layout copies (~5.9 ms/s of
+# device time at the production shape, done 50x per signal-second). The
+# identity making this free: column dc of a per-offset table stack equals
+# row dc + v of the extended table, since the packed word for (offset dc,
+# C0I row v) depends only on dc + v.
+DRIFT_CHIPS_PER_S = 10.0  # bound guaranteed by code_rail_hz + the freq rail
 
-def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
+
+def _wordpack_geometry(t_sb_s: float) -> tuple[int, int]:
+    """(DC, LEAD) for a superblock of duration ``t_sb_s`` seconds.
+
+    ``d = LEAD + drift`` must stay in [0, DC) for drift in ``[-M, M]`` with
+    ``M = ceil(DRIFT_CHIPS_PER_S * t_sb + 2)`` (the +2 covers rem_code loop
+    transients and floor rounding).
+    """
+    m = int(np.ceil(DRIFT_CHIPS_PER_S * t_sb_s + 2.0))
+    return 2 * m + 2, m
+
+
+def _intercept(cfg: TrackingConfig, st: ChannelState):
+    """Code-phase intercept of the block's first consumed sample.
+
+    Bit-identical to the former inline computation in :func:`block_geometry`
+    (pass A's epoch-0 ``rem_code`` is ``st.rem_code`` and its ``delta`` is
+    this same expression), so it can also be evaluated from the superblock's
+    initial state alone by :func:`make_wordpack`.
+    """
+    spms = cfg.samples_per_ms
+    fs = cfg.sampling_frequency
+    L = GPS_L1CA_CODE_LENGTH
+    doppler = st.carrier_freq - cfg.intermediate_frequency
+    aiding = (
+        doppler * (GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ)
+        if cfg.carrier_aiding else 0.0
+    )
+    delta = st.code_freq_offset + aiding
+    avail0 = (cfg.tail_ms + 1) * spms
+    unread0 = jnp.minimum(st.unread + spms, avail0)
+    base = avail0 - unread0                              # [n_ch] int32
+    a_ms = base // spms
+    b_rem = base % spms
+    b1023 = (b_rem * jnp.int32(L)).astype(jnp.float32)   # exact in int32
+    B = st.rem_code - base.astype(jnp.float32) * (delta / fs) - b1023 / spms
+    B = jnp.mod(B, float(L))
+    c_int = jnp.floor(B).astype(jnp.int32)               # [0, 1022]
+    fb = B - c_int.astype(jnp.float32)                   # [0, 1)
+    return base, a_ms, b_rem, c_int, fb
+
+
+def _word_windex(cfg: TrackingConfig, n_rows: int = C0I_ROWS):
+    """Static (numpy) bit-gather index table for packed-word building.
+
+    Row ``j`` of the result packs chips starting at integer chip offset
+    ``c + C0I_MIN + j`` of the roll origin ``c`` — for the per-block build
+    ``n_rows = C0I_ROWS`` (the ``floor(frac + spacing)`` range); for the
+    superblock-hoisted table the row axis is extended by the drift range.
+    """
+    spms = cfg.samples_per_ms
+    gsize, local = _group_size(cfg.sampling_frequency)
+    step0 = GPS_L1CA_CODE_FREQ / cfg.sampling_frequency
+    # +2 slack groups: sample-quantised correlator taps shift the chip
+    # stream forward by up to ~2 chips past the per-ms span.
+    n_groups = (spms + gsize - 1) // gsize + 2
+    cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
+    windex = (
+        8
+        + (C0I_MIN + np.arange(n_rows))[:, None, None]
+        - 2
+        + cs0[None, :, None]
+        + np.arange(local)[None, None, :]
+    )                                                # [n_rows, G, local]
+    return windex, local
+
+
+def _build_words(cfg: TrackingConfig, bits3x, c_int,
+                 n_rows: int = C0I_ROWS):
+    """Packed chip words at integer chip offset ``c_int`` (per channel).
+
+    Device-side packed words from rolled code bits:
+    ``rolled[p] = chip (c_int - 8 + p) mod 1023 = bits3x[L + c_int - 8 + p]``;
+    returns ``[n_ch, n_rows, G]``. Row ``j`` packs the chips for offset
+    ``c_int + C0I_MIN + j`` — rows beyond ``C0I_ROWS`` extend the same
+    sequence (the superblock-hoisted table), bit-identical to the leading
+    rows of a fresh build at ``c_int + (j - v)`` for any split.
+    """
+    L = GPS_L1CA_CODE_LENGTH
+    windex, local = _word_windex(cfg, n_rows)
+    pow2 = jnp.asarray((2.0 ** np.arange(local)).astype(np.float32))
+    roll_start = L + c_int - 8
+    width = int(windex.max()) + 1           # no clamped (wrong-chip) reads
+    # 4x tiling covers the worst case: start <= L + 1022 - 8 = 2037,
+    # end <= 2037 + width <= bits3x width (tiled_code_bits).
+    assert 2037 + width <= bits3x.shape[-1], (width, bits3x.shape)
+    rolled = jax.vmap(
+        lambda bt, s0: jax.lax.dynamic_slice(bt, (s0,), (width,))
+    )(bits3x, roll_start)
+    return jnp.sum(rolled[:, windex] * pow2, axis=-1)   # [n_ch, n_rows, G]
+
+
+def _kernel_word_table(cfg: TrackingConfig, words):
+    """Sublane-oriented word table ``[n_ch, n_rows, U_PAD, 2Q]``.
+
+    Table row u packs group words [Q*(u - LEAD_U), ... + 2Q). The group
+    sequence is LEAD-padded BEFORE the [main | next-row] windowing so the
+    last lead row's lookahead lanes carry the first real groups (run b of a
+    boundary-crossing sub-chunk reads them). ``n_rows`` is ``C0I_ROWS``
+    per-block or the drift-extended row count of the hoisted table.
+    """
+    from sydr_tpu.ops import correlator_kernel as ck
+
+    spms = cfg.samples_per_ms
+    gsize, _ = _group_size(cfg.sampling_frequency)
+    q_sub = 128 // gsize
+    lead_u, u_pad = ck.wtab_geometry(spms, gsize)
+    n_ch, n_rows = words.shape[0], words.shape[1]
+    g_dim = words.shape[-1]
+    wq = jnp.pad(words, (
+        (0, 0), (0, 0),
+        (lead_u * q_sub, (u_pad + 1) * q_sub - lead_u * q_sub - g_dim)))
+    main = wq[..., :u_pad * q_sub].reshape(n_ch, n_rows, u_pad, q_sub)
+    nxt = wq[..., q_sub:(u_pad + 1) * q_sub].reshape(
+        n_ch, n_rows, u_pad, q_sub)
+    return jnp.concatenate([main, nxt], axis=-1)
+
+
+def make_wordpack(cfg: TrackingConfig, bits3x, st: ChannelState,
+                  t_sb_s: float):
+    """Hoisted word tables for every block of a superblock.
+
+    Built once from the superblock's initial state. The word for (integer
+    drift dc, C0I row v) depends only on ``dc + v``, so the per-offset
+    tables collapse into ONE table whose C0I row axis is extended by the
+    drift range: per block the kernel adds the per-channel integer drift
+    ``d`` to its row selector (a scalar), and the XLA boundary recompute
+    picks its C0I_ROWS-row slice ``[d, d + 4)`` with a tiny one-hot
+    reduction. ``d`` stays in range because ``code_rail_hz`` (pass C) and
+    the carrier-aiding bound cap the code-rate offset at
+    ``DRIFT_CHIPS_PER_S`` chips/s (:func:`_wordpack_geometry`).
+    """
+    dc_n, lead = _wordpack_geometry(t_sb_s)
+    *_, c_int0, _ = _intercept(cfg, st)
+    c_roll = jnp.mod(c_int0 - lead, GPS_L1CA_CODE_LENGTH).astype(jnp.int32)
+    wtab = _build_words(cfg, bits3x, c_roll,
+                        n_rows=dc_n + C0I_ROWS - 1)    # [n_ch, J, G]
+    # dc_n/lead are recovered from wtab.shape[1] downstream (the pack must
+    # stay a pytree of arrays to cross jit boundaries).
+    pack = {"c_roll": c_roll, "wtab": wtab}
+    if cfg.use_pallas:
+        pack["wtab_p"] = _kernel_word_table(cfg, wtab)
+    return pack
+
+
+def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
+                   wordpack=None):
     """Per-block dense-pass geometry: code/carrier phase anchors + words.
 
     Code phase at *window* sample m is ``B + m*step (mod 1023)``; the integer
@@ -188,47 +350,38 @@ def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
     """
     spms = cfg.samples_per_ms
     fs = cfg.sampling_frequency
-    gsize, local = _group_size(fs)
-    step0 = GPS_L1CA_CODE_FREQ / fs
     n_q = cfg.tail_ms + cfg.block_ms
     L = GPS_L1CA_CODE_LENGTH
     delta = geo["delta"]
     omega = geo["omega"]
 
-    # Window position of the first consumed sample (epoch-0 read pointer).
-    avail0 = (cfg.tail_ms + 1) * spms
-    unread0 = jnp.minimum(st.unread + spms, avail0)
-    base = avail0 - unread0                              # [n_ch] int32
-    a_ms = base // spms
-    b_rem = base % spms
+    # Window position of the first consumed sample (epoch-0 read pointer)
+    # and the code phase intercept B = rem0 - base*step (mod 1023).
+    base, a_ms, b_rem, c_int, fb = _intercept(cfg, st)
 
-    # Code phase intercept B = rem0 - base*step (mod 1023), exact-rational.
-    rem0 = geo["rem_code"][0]
-    b1023 = (b_rem * jnp.int32(L)).astype(jnp.float32)   # exact in int32
-    B = rem0 - base.astype(jnp.float32) * (delta / fs) - b1023 / spms
-    B = jnp.mod(B, float(L))
-    c_int = jnp.floor(B).astype(jnp.int32)               # [0, 1022]
-    fb = B - c_int.astype(jnp.float32)                   # [0, 1)
-
-    # Device-side packed words from rolled code bits:
-    # rolled[p] = chip (c_int - 8 + p) mod 1023 = bits3x[L + c_int - 8 + p]
-    roll_start = L + c_int - 8
-    rolled = jax.vmap(
-        lambda bt, s0: jax.lax.dynamic_slice(bt, (s0,), (1064,))
-    )(bits3x, roll_start)
-    # +2 slack groups: sample-quantised correlator taps shift the chip
-    # stream forward by up to ~2 chips past the per-ms span.
-    n_groups = (spms + gsize - 1) // gsize + 2
-    cs0 = np.floor(np.arange(n_groups) * gsize * step0).astype(np.int32)
-    windex = (
-        8
-        + (C0I_MIN + np.arange(C0I_ROWS))[:, None, None]
-        - 2
-        + cs0[None, :, None]
-        + np.arange(local)[None, None, :]
-    )                                                    # [4, G, local] static
-    pow2 = jnp.asarray((2.0 ** np.arange(local)).astype(np.float32))
-    words = jnp.sum(rolled[:, windex] * pow2, axis=-1)   # [n_ch, 4, G]
+    if wordpack is None:
+        words = _build_words(cfg, bits3x, c_int)         # [n_ch, 4, G]
+        d = None
+    else:
+        wtab = wordpack["wtab"]                          # [n_ch, J, G]
+        n_j = wtab.shape[1]
+        dc_n = n_j - C0I_ROWS + 1
+        lead = (dc_n - 2) // 2
+        # Non-tracking channels' intercepts wander (their correlators are
+        # masked out downstream) — pin them to the table centre. Tracking
+        # channels' drift is bounded by code_rail_hz + carrier aiding
+        # (DRIFT_CHIPS_PER_S), so the clip is unreachable for them.
+        d = jnp.where(st.mode == MODE_TRACKING,
+                      jnp.mod(c_int - wordpack["c_roll"], L),
+                      jnp.int32(lead))
+        d = jnp.clip(d, 0, dc_n - 1)
+        # The boundary recompute's C0I_ROWS-row view: rows [d, d + 4) of
+        # the extended table (tiny one-hot reduction, no dynamic slices).
+        sel = (jnp.arange(n_j, dtype=jnp.int32)[None, :, None]
+               == d[:, None, None]
+               + jnp.arange(C0I_ROWS, dtype=jnp.int32)[None, None, :])
+        words = jnp.sum(
+            jnp.where(sel[..., None], wtab[:, :, None, :], 0.0), axis=1)
 
     qs = jnp.arange(n_q, dtype=jnp.float32)
     fb_q = fb[:, None] + qs[None, :] * (spms * delta / fs)[:, None]
@@ -239,7 +392,8 @@ def block_geometry(cfg: TrackingConfig, bits3x, st: ChannelState, geo):
         + omega * b_rem.astype(jnp.float32)
     )
     phic_q = jnp.mod(phic0[:, None] - qs[None, :] * w_ms[:, None], TWO_PI)
-    return {"base": base, "words": words, "fb_q": fb_q, "phic_q": phic_q}
+    return {"base": base, "words": words, "word_drift": d,
+            "fb_q": fb_q, "phic_q": phic_q}
 
 
 def dense_streams(cfg: TrackingConfig, words, fb_q, phic_q, omega, code_step,
@@ -524,7 +678,7 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
 
 
 def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
-            window_re, window_im):
+            window_re, window_im, wordpack=None):
     """Correlators ``[block_ms, n_ch, 6]`` for the whole block.
 
     Code/carrier phase are linear in the *window* sample index m:
@@ -546,7 +700,7 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
     code_step = geo["code_step"]
     omega = geo["omega"]
 
-    bg = block_geometry(cfg, bits3x, st, geo)
+    bg = block_geometry(cfg, bits3x, st, geo, wordpack=wordpack)
     base, words, fb_q, phic_q = (
         bg["base"], bg["words"], bg["fb_q"], bg["phic_q"])
 
@@ -564,30 +718,25 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         # per-grid-step machinery (slices, scalar work, DMA issue) is a
         # fixed cost, so small chunks amortise it over more sub-chunks.
         super_n = max(ck.SUPER, (ck.SUPER * ck.CHUNK) // chunk)
-        q_sub = 128 // gsize
         blockpad = super_n * chunk
         pad = (-n_win) % blockpad
         wre_p = jnp.concatenate(
             [window_re, jnp.zeros(pad, jnp.float32)]) if pad else window_re
         wim_p = jnp.concatenate(
             [window_im, jnp.zeros(pad, jnp.float32)]) if pad else window_im
-        # Sublane-oriented word table [n_ch, C0I_ROWS, U_PAD, 2Q]: table
-        # row u packs group words [Q*(u - LEAD_U), ... + 2Q). The group
-        # sequence is LEAD-padded BEFORE the [main | next-row] windowing so
-        # the last lead row's lookahead lanes carry the first real groups
-        # (run b of a boundary-crossing sub-chunk reads them).
-        lead_u, u_pad = ck.wtab_geometry(spms, gsize)
-        g_dim = words.shape[-1]
-        wq = jnp.pad(words, (
-            (0, 0), (0, 0),
-            (lead_u * q_sub, (u_pad + 1) * q_sub - lead_u * q_sub - g_dim)))
-        main = wq[..., :u_pad * q_sub].reshape(
-            n_ch, C0I_ROWS, u_pad, q_sub)
-        nxt = wq[..., q_sub:(u_pad + 1) * q_sub].reshape(
-            n_ch, C0I_ROWS, u_pad, q_sub)
-        words_p = jnp.concatenate([main, nxt], axis=-1)
+        # Sublane-oriented word table (:func:`_kernel_word_table`): the
+        # per-block [n_ch, C0I_ROWS, U_PAD, 2Q] build, or — with a hoisted
+        # wordpack — the superblock-level drift-extended table, consumed
+        # as-is with the per-channel integer drift ``d`` as a kernel row
+        # offset (scalars slot 2).
+        if wordpack is not None:
+            words_p = wordpack["wtab_p"]
+            drift = bg["word_drift"].astype(jnp.float32)
+        else:
+            words_p = _kernel_word_table(cfg, words)
+            drift = jnp.zeros_like(omega)
         scalars = jnp.stack(
-            [omega, code_step] + [jnp.zeros_like(omega)] * 6, axis=1
+            [omega, code_step, drift] + [jnp.zeros_like(omega)] * 5, axis=1
         )
         spacings_eff = tuple(prof.spacings_for(cfg))
         n_streams = 2 * len(spacings_eff)
@@ -733,6 +882,9 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
                 frozen_carrier + cfg.max_block_freq_step,
             )
         new_code_off = code_off - nco_code
+        if cfg.code_rail_hz > 0:
+            new_code_off = jnp.clip(
+                new_code_off, -cfg.code_rail_hz, cfg.code_rail_hz)
 
         # Bit-edge histogram sync (same semantics as the scanned runtime).
         had_sync = (flags & FLAG_BIT_SYNC) != 0
@@ -876,15 +1028,18 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_block_batched(cfg: TrackingConfig, bits3x, state: ChannelState,
-                      window_re, window_im):
+                      window_re, window_im, wordpack=None):
     """Drop-in replacement for ``runtime.run_block`` (frozen-rate blocks).
 
-    ``bits3x`` is the ``tiled_code_bits`` table (``[n_ch, 3134]``).
+    ``bits3x`` is the ``tiled_code_bits`` table (``[n_ch, 4160]``).
+    ``wordpack`` (optional, from :func:`make_wordpack`) supplies hoisted
+    packed-word tables so the per-block code roll is a one-hot pick.
     """
     from sydr_tpu.channels.runtime import _slew_anchor
 
     geo = _pass_a(cfg, state)
-    corr = _pass_b(cfg, bits3x, state, geo, window_re, window_im)
+    corr = _pass_b(cfg, bits3x, state, geo, window_re, window_im,
+                   wordpack=wordpack)
     new_state, outputs = _pass_c(cfg, state, geo, corr)
     return _slew_anchor(cfg, new_state), outputs
 
@@ -906,15 +1061,39 @@ def run_superblock(cfg: TrackingConfig, k_blocks: int, bits3x,
     sb = cfg.block_ms * spms
     win_len = cfg.window_samples
 
-    def body(st, k):
-        start = k * sb
+    # Word tables hoisted out of the block scan: the code-phase intercept
+    # drifts at most DRIFT_CHIPS_PER_S * (wordpack duration) chips from the
+    # group's initial state, so one drift-extended table covers a GROUP of
+    # consecutive blocks. Groups are capped at ~0.1 s: the drift-row count
+    # is then ceil(10*0.1+2)=3 -> 11 table rows, where the kernel measures
+    # FASTER than the per-block 4-row build (22.4 vs 26.6 ms/s full-rate —
+    # the roll/relayout feeding is gone); one table for a full 1 s
+    # superblock would need 26 rows, where the kernel's dynamic row
+    # indexing falls off a Mosaic cliff (60.4 ms/s, trace-measured).
+    # Rebuilding 10x/s costs < 0.5 ms/s (one dynamic-slice roll + static
+    # gather per group).
+    max_group = max(1, int(round(0.1 / (cfg.block_ms * 1e-3))))
+    group = max(g for g in range(1, k_blocks + 1)
+                if k_blocks % g == 0 and g <= max_group)
+    n_groups = k_blocks // group
+    t_group_s = group * cfg.block_ms * 1e-3
+
+    def inner(wordpack, st, start):
         wre = jax.lax.dynamic_slice(samples_re, (start,), (win_len,))
         wim = jax.lax.dynamic_slice(samples_im, (start,), (win_len,))
-        st, outputs = run_block_batched(cfg, bits3x, st, wre, wim)
-        return st, outputs
+        return run_block_batched(cfg, bits3x, st, wre, wim,
+                                 wordpack=wordpack)
+
+    def outer(st, kg):
+        wordpack = make_wordpack(cfg, bits3x, st, t_sb_s=t_group_s)
+        def body(st2, j):
+            return inner(wordpack, st2, kg * (group * sb) + j * sb)
+        st, outs = jax.lax.scan(
+            body, st, jnp.arange(group, dtype=jnp.int32))
+        return st, outs
 
     state, outs = jax.lax.scan(
-        body, state, jnp.arange(k_blocks, dtype=jnp.int32))
+        outer, state, jnp.arange(n_groups, dtype=jnp.int32))
     merged = jax.tree_util.tree_map(
-        lambda x: x.reshape((k_blocks * cfg.block_ms,) + x.shape[2:]), outs)
+        lambda x: x.reshape((k_blocks * cfg.block_ms,) + x.shape[3:]), outs)
     return state, merged

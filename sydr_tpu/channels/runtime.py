@@ -115,6 +115,15 @@ class TrackingConfig:
     # discriminators saturate at +-250 Hz; clamping the per-block step keeps
     # the compensation in the linear region during aggressive pull-in.
     max_block_freq_step: float = 125.0
+    # Code-rate-offset rail (Hz of the 1.023 MHz code clock). Physical code
+    # Doppler not already removed by carrier aiding is < ~1 Hz (satellite
+    # dynamics enter via aiding; what remains is receiver clock drift,
+    # <= ~2 Hz at 2 ppm TCXO), so +-6 Hz only engages on divergence. It also
+    # bounds the code-phase drift per superblock, which sizes the hoisted
+    # word tables (batch_runtime.DRIFT_CHIPS_PER_S). 0 disables (the batch
+    # runtime's word-table row pick then clips, degrading a diverged — i.e.
+    # already unlocked — channel's correlators).
+    code_rail_hz: float = 6.0
     # "scan": per-ms feedback cadence (reference-exact); "batch": two-pass
     # frozen-rate blocks (dense, time-parallel; see channels/batch_runtime).
     runtime: str = "scan"
@@ -252,6 +261,9 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
             st.freq_anchor + cfg.freq_rail_hz,
         )
     code_freq_offset = st.code_freq_offset - nco_code
+    if cfg.code_rail_hz > 0:
+        code_freq_offset = jnp.clip(
+            code_freq_offset, -cfg.code_rail_hz, cfg.code_rail_hz)
 
     # --- Bit-edge synchronisation (histogram method) -----------------------
     # The reference latches onto the FIRST prompt sign flip

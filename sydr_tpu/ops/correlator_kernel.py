@@ -99,6 +99,10 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
     """
     omega = sc_ref[c, 0]
     code_step = sc_ref[c, 1]
+    # Integer chip drift of this block vs the (superblock-hoisted) word
+    # table's roll origin: a plain row offset into the drift-EXTENDED C0I
+    # axis (0 with a per-block table). See batch_runtime.make_wordpack.
+    d_off = sc_ref[c, 2].astype(jnp.int32)
     q_sub = 128 // gsize
     gshift = gsize.bit_length() - 1
     qlog = q_sub.bit_length() - 1
@@ -169,7 +173,7 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
         """
         col_l = col_i if col is None else col
         c0i = jnp.floor(fb_s).astype(jnp.int32)                # scalar
-        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
+        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1) + d_off
         l0 = m0 - q_start_m                                    # scalar
         a = jax.lax.shift_right_arithmetic(l0, gshift)
         ua = jax.lax.shift_right_arithmetic(a, qlog)
@@ -390,7 +394,7 @@ def block_rowsum_streams(
     block degenerates to per-row (1, 6) tiles.)
     """
     n_ch = words.shape[0]
-    u_pad, twoq = words.shape[2], words.shape[3]
+    w_rows, u_pad, twoq = words.shape[1], words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     rows = chunk // 128
@@ -415,7 +419,7 @@ def block_rowsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C0I_ROWS, u_pad, twoq),
+        pl.BlockSpec((1, w_rows, u_pad, twoq),
                      lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -455,7 +459,7 @@ def block_cumsum_streams(
     ``out[..., i]`` = sum of the stream over samples [0, i].
     """
     n_ch = words.shape[0]
-    u_pad, twoq = words.shape[2], words.shape[3]
+    w_rows, u_pad, twoq = words.shape[1], words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     rows = chunk // 128
@@ -479,7 +483,7 @@ def block_cumsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C0I_ROWS, u_pad, twoq),
+        pl.BlockSpec((1, w_rows, u_pad, twoq),
                      lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]

@@ -135,3 +135,39 @@ def test_scan_last_epoch_not_clamped():
     # Every epoch, including the last, must be fully correlated.
     assert ip.min() > 0.9 * ip.max(), ip
     assert ip[-1] > 0.9 * spms
+
+
+def test_wordpack_identity_across_drift_range():
+    """Hoisted word table rows equal fresh per-offset builds, all drifts.
+
+    The superblock optimisation relies on: the packed word for (integer
+    chip drift ``d``, C0I row ``v``) depends only on ``d + v``, so rows
+    ``[d, d + C0I_ROWS)`` of the drift-extended table built at the roll
+    origin must be bit-identical to a fresh :func:`_build_words` at
+    ``c_roll + d`` — for EVERY drift the superblock can encounter, and
+    after the kernel-layout relayout too.
+    """
+    import jax.numpy as jnp
+
+    from sydr_tpu.channels import batch_runtime as br
+
+    cfg = TrackingConfig(sampling_frequency=FS, block_ms=20, tail_ms=4,
+                         window_size=4224, runtime="batch")
+    bits3x = jnp.asarray(br.tiled_code_bits([7, 23]))
+    dc_n, lead = br._wordpack_geometry(4 * cfg.block_ms * 1e-3)
+    L = 1023
+    for c_int0 in (0, 511, 1013, 1022):   # include wrap-around origins
+        c_roll = np.mod(np.int32(c_int0) - lead, L)
+        wtab = np.asarray(br._build_words(
+            cfg, bits3x, jnp.full((2,), c_roll, jnp.int32),
+            n_rows=dc_n + br.C0I_ROWS - 1))
+        wtab_p = np.asarray(br._kernel_word_table(cfg, jnp.asarray(wtab)))
+        for d in range(dc_n):
+            fresh = np.asarray(br._build_words(
+                cfg, bits3x,
+                jnp.full((2,), (c_roll + d) % L, jnp.int32)))
+            np.testing.assert_array_equal(wtab[:, d:d + br.C0I_ROWS], fresh)
+            fresh_p = np.asarray(br._kernel_word_table(
+                cfg, jnp.asarray(fresh)))
+            np.testing.assert_array_equal(
+                wtab_p[:, d:d + br.C0I_ROWS], fresh_p)

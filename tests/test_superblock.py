@@ -44,8 +44,18 @@ def test_superblock_matches_sequential():
     assert abs(ip1 - ip4) < 0.05 * ip1
 
 
-def test_superblock_exact_same_signal_alignment():
-    """With acquisition forced at the same sample, outputs are identical."""
+import pytest
+
+
+@pytest.mark.parametrize("pallas", [False, True])
+def test_superblock_exact_same_signal_alignment(pallas):
+    """With acquisition forced at the same sample, outputs are identical.
+
+    The superblock path hoists the packed-word tables out of the block
+    scan (``make_wordpack``'s drift-extended row axis + the kernel's
+    ``d_off`` row offset); this asserts it stays bit-consistent with the
+    per-block roll of standalone ``run_block_batched`` — for the XLA dense
+    pass and for the Pallas kernel (interpret mode, quantised taps)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -60,7 +70,9 @@ def test_superblock_exact_same_signal_alignment():
     re, im = np.float32(iq.real), np.float32(iq.imag)
 
     cfg = TrackingConfig(sampling_frequency=FS, block_ms=20, tail_ms=4,
-                         window_size=4224, runtime="batch")
+                         window_size=4224, runtime="batch",
+                         use_pallas=pallas, pallas_interpret=pallas,
+                         quantize_spacing=pallas)
     state = init_state(1)
     state = dataclasses.replace(
         state,
@@ -83,8 +95,20 @@ def test_superblock_exact_same_signal_alignment():
         cfg, 4, bits3x, state, jnp.asarray(re), jnp.asarray(im))
 
     ip_seq = np.concatenate([np.asarray(o["i_prompt"]) for o in seq], 0)
+    # The hoisted-wordpack GEOMETRY (drift d, picked words, read base) is
+    # bit-identical inside the scan — verified by the wordpack identity
+    # test in test_batch_runtime.py and by probing block_geometry in both
+    # contexts. The correlator VALUES may still differ at bf16-rounding
+    # level on the quantised-tap kernel path: the scan-body compile and
+    # the standalone compile round the f32 phase-anchor tables (phic_q)
+    # differently (FMA reassociation, ~1e-6 rad), and the kernel's bf16
+    # sample products amplify an ulp-level phase change into ~1e-3
+    # relative correlator noise. The XLA dense pass accumulates in f32
+    # and stays at f32-noise level.
+    tol = dict(rtol=2e-3, atol=5e-2) if pallas else dict(rtol=1e-5,
+                                                         atol=1e-2)
     np.testing.assert_allclose(np.asarray(out_sb["i_prompt"]), ip_seq,
-                               rtol=1e-5, atol=1e-2)
+                               **tol)
     np.testing.assert_allclose(np.asarray(st_sb.carrier_freq),
                                np.asarray(st.carrier_freq), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(st_sb.unread),

@@ -12,6 +12,12 @@ max-|err|/(|ref|+1) metric (dominated by near-zero correlators — the
 absolute error stays under ~1% of the correlator full scale, i.e. well
 below the thermal noise floor; rowsum's boundary-partial recompute sits
 in the same rounding family as the kernel's bf16 matmul products).
+The superblock-wordpack case runs 4 CLOSED-LOOP blocks, so bf16 rounding
+feeds back through the DLL/PLL and the metric grows to <= ~0.7 — the
+CPU interpret-mode yardstick measures the SAME value (0.621 on this
+seed, chip == interpret), and prompt magnitudes stay within ~2%
+everywhere (misaligned word rows would collapse them). A jump past ~1
+or an amplitude collapse means the wordpack lowering broke.
 A dense-tpu != 0 or a jump to O(1) on any variant means the backend's
 Mosaic/XLA lowering changed — stop and re-verify before trusting RTF.
 """
@@ -53,6 +59,18 @@ def corr_of(cfg):
     return np.stack([np.asarray(out[k]) for k in
                      ("i_early","q_early","i_prompt","q_prompt",
                       "i_late","q_late")])
+
+# Longer capture for the superblock (hoisted-wordpack) parity case:
+# tail + 4 blocks of 5 ms, fed as one run_superblock dispatch.
+iq_sb = gen.generate_ms(15)   # continues the same signal: 9 + 15 = 24 ms
+all_re = jnp.concatenate([wre, jnp.asarray(np.float32(iq_sb.real))])
+all_im = jnp.concatenate([wim, jnp.asarray(np.float32(iq_sb.imag))])
+def corr_sb(cfg, k_blocks=4):
+    st, out = br.run_superblock(cfg, k_blocks, bits3x, state,
+                                all_re, all_im)
+    return np.stack([np.asarray(out[k]) for k in
+                     ("i_early","q_early","i_prompt","q_prompt",
+                      "i_late","q_late")])
 args = dict(sampling_frequency=FS, block_ms=5, tail_ms=4,
             window_size=10240, runtime="batch", profile="borre")
 '''
@@ -61,6 +79,11 @@ args = dict(sampling_frequency=FS, block_ms=5, tail_ms=4,
 cpu_code = SETUP + '''
 jax.config.update("jax_platforms", "cpu")
 np.save("/tmp/parity_cpu.npy", corr_of(TrackingConfig(**args)))
+# Superblock truth: the XLA dense pass (no pallas) superblock on CPU —
+# geometry (wordpack drift rows) is bit-identical to per-block by
+# construction; values carry only f32 noise.
+np.save("/tmp/parity_cpu_sb.npy",
+        corr_sb(TrackingConfig(**args, quantize_spacing=True)))
 print("cpu done")
 '''
 subprocess.run([sys.executable, "-c", cpu_code],
@@ -99,3 +122,18 @@ for name, cfg in (
     except Exception as e:
         print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
               flush=True)
+
+# Superblock (hoisted wordpack) on chip, production config: validates the
+# drift-extended word table + in-kernel d_off row offset end-to-end on
+# real Mosaic lowering (the bench path).
+ref_sb = np.load("/tmp/parity_cpu_sb.npy")
+try:
+    got = corr_sb(TrackingConfig(**args, use_pallas=True,
+                                 boundary_mode="rowsum",
+                                 quantize_spacing=True))
+    err = np.max(np.abs(got - ref_sb) / (np.abs(ref_sb) + 1.0))
+    print(f"superblock-wordpack-chip: max rel err vs CPU truth = "
+          f"{err:.5f}", flush=True)
+except Exception as e:
+    print(f"superblock-wordpack-chip: FAILED {type(e).__name__}: "
+          f"{str(e)[:200]}", flush=True)

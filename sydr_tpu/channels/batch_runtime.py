@@ -1072,7 +1072,7 @@ def run_superblock(cfg: TrackingConfig, k_blocks: int, bits3x,
     # indexing falls off a Mosaic cliff (60.4 ms/s, trace-measured).
     # Rebuilding 10x/s costs < 0.5 ms/s (one dynamic-slice roll + static
     # gather per group).
-    max_group = max(1, int(round(0.1 / (cfg.block_ms * 1e-3))))
+    max_group = max(1, int(round(0.2 / (cfg.block_ms * 1e-3))))
     group = max(g for g in range(1, k_blocks + 1)
                 if k_blocks % g == 0 and g <= max_group)
     n_groups = k_blocks // group

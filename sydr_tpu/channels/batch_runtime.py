@@ -39,6 +39,7 @@ State layout, outputs, and flag semantics are identical to
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,8 @@ from sydr_tpu.channels.state import (
     FLAG_CODE_LOCK,
     MODE_TRACKING,
     ChannelState,
+    pack_state,
+    unpack_state,
 )
 from sydr_tpu.constants import (
     GPS_L1CA_CARRIER_FREQ,
@@ -714,10 +717,12 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
 
         assert chunk <= ck.CHUNK
 
-        # keep kernel programs at ~32k samples regardless of chunk: the
+        # keep kernel programs at ~PROGRAM samples regardless of chunk: the
         # per-grid-step machinery (slices, scalar work, DMA issue) is a
         # fixed cost, so small chunks amortise it over more sub-chunks.
-        super_n = max(ck.SUPER, (ck.SUPER * ck.CHUNK) // chunk)
+        program = int(os.environ.get(
+            "SYDR_KERNEL_PROGRAM", str(ck.SUPER * ck.CHUNK)))
+        super_n = max(ck.SUPER, program // chunk)
         blockpad = super_n * chunk
         pad = (-n_win) % blockpad
         wre_p = jnp.concatenate(
@@ -1084,16 +1089,26 @@ def run_superblock(cfg: TrackingConfig, k_blocks: int, bits3x,
         return run_block_batched(cfg, bits3x, st, wre, wim,
                                  wordpack=wordpack)
 
-    def outer(st, kg):
+    # Scan carries hold the state PACKED as two dense matrices: XLA pays one
+    # async copy pair per carried buffer per iteration (~1.8 us each on v5e),
+    # so ~29 tiny [n_ch] leaves cost ~2.5 ms/s at 50 blocks/s — see
+    # channels/state.py pack_state.
+    def outer(packed, kg):
+        st = unpack_state(*packed)
         wordpack = make_wordpack(cfg, bits3x, st, t_sb_s=t_group_s)
-        def body(st2, j):
-            return inner(wordpack, st2, kg * (group * sb) + j * sb)
-        st, outs = jax.lax.scan(
-            body, st, jnp.arange(group, dtype=jnp.int32))
-        return st, outs
 
-    state, outs = jax.lax.scan(
-        outer, state, jnp.arange(n_groups, dtype=jnp.int32))
+        def body(packed2, j):
+            st2, outs2 = inner(wordpack, unpack_state(*packed2),
+                               kg * (group * sb) + j * sb)
+            return pack_state(st2), outs2
+
+        packed, outs = jax.lax.scan(
+            body, packed, jnp.arange(group, dtype=jnp.int32))
+        return packed, outs
+
+    packed, outs = jax.lax.scan(
+        outer, pack_state(state), jnp.arange(n_groups, dtype=jnp.int32))
+    state = unpack_state(*packed)
     merged = jax.tree_util.tree_map(
         lambda x: x.reshape((k_blocks * cfg.block_ms,) + x.shape[3:]), outs)
     return state, merged

@@ -123,6 +123,40 @@ def init_state(n_channels: int) -> ChannelState:
     )
 
 
+# --- Packed scan-carry form -------------------------------------------------
+# XLA materialises one async copy-start/copy-done pair PER CARRIED BUFFER per
+# lax.scan iteration; with ~29 tiny [n_ch] leaves that fixed cost measured
+# ~2.5 ms per signal-second at the product shape (50 block iterations/s on a
+# v5e trace — more than the whole boundary recompute). Scans therefore carry
+# the state as TWO dense matrices; pack/unpack are column slices/concats that
+# fuse into the body for free.
+
+_F32_FIELDS = tuple(
+    f.name for f in dataclasses.fields(ChannelState)
+    if f.name not in (
+        "mode", "flags", "unread", "code_counter", "ms_counter",
+        "edge_hist", "bit_edge", "accum_count", "lock_state"))
+_I32_FIELDS = ("mode", "flags", "unread", "code_counter", "ms_counter",
+               "bit_edge", "accum_count", "lock_state")
+
+
+def pack_state(st: ChannelState):
+    """ChannelState -> (f32 [n_ch, NF], i32 [n_ch, NI + 20]) carry form."""
+    f = jnp.stack([getattr(st, n) for n in _F32_FIELDS], axis=1)
+    i = jnp.concatenate(
+        [jnp.stack([getattr(st, n) for n in _I32_FIELDS], axis=1),
+         st.edge_hist], axis=1)
+    return f, i
+
+
+def unpack_state(f: jax.Array, i: jax.Array) -> ChannelState:
+    """Inverse of :func:`pack_state`."""
+    kw = {n: f[:, k] for k, n in enumerate(_F32_FIELDS)}
+    kw.update({n: i[:, k] for k, n in enumerate(_I32_FIELDS)})
+    kw["edge_hist"] = i[:, len(_I32_FIELDS):]
+    return ChannelState(**kw)
+
+
 def code_table(prns: list[int]) -> np.ndarray:
     """Stacked padded code tables ``[n_channels, 1025]`` for the given PRNs.
 

@@ -128,7 +128,7 @@ def main():
               f"(1 superblock = {sig_s:.1f}s signal; wall {wall:.2f}s) ===")
         print(f"device total: {total / sig_s:8.2f} ms/s "
               f"(RTF-limit {1000 * sig_s / total:6.1f})")
-        for name, ms in ops[:14]:
+        for name, ms in ops[:int(os.environ.get("TRACE_TOP", "14"))]:
             print(f"  {ms / sig_s:8.2f} ms/s  {name[:90]}")
         jax.clear_caches()
 

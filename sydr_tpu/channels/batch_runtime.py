@@ -288,13 +288,18 @@ def _build_words(cfg: TrackingConfig, bits3x, c_int,
 
 
 def _kernel_word_table(cfg: TrackingConfig, words):
-    """Sublane-oriented word table ``[n_ch, n_rows, U_PAD, 2Q]``.
+    """Lane-expanded word table ``[n_ch, n_rows, U_PAD, 128]``.
 
-    Table row u packs group words [Q*(u - LEAD_U), ... + 2Q). The group
-    sequence is LEAD-padded BEFORE the [main | next-row] windowing so the
-    last lead row's lookahead lanes carry the first real groups (run b of a
-    boundary-crossing sub-chunk reads them). ``n_rows`` is ``C0I_ROWS``
-    per-block or the drift-extended row count of the hoisted table.
+    Table row ``u`` holds the ``Q`` group words of one 128-sample vector
+    row — ``E[.., u, l] = word[Q*(u - LEAD_U) + (l >> gshift)]``, each word
+    pre-broadcast over its ``gsize`` lanes — so the kernel's per-run word
+    pick is ONE dynamic lane-rotation plus a row-carry select
+    (``words_for_run``), replacing the ``2Q``-way per-lane select chain
+    that measured 6.2 of the 11.2 ms/s decimated kernel (Q = 4 there).
+    The lane axis costs 16x the HBM of the packed ``[.., 2Q]`` form
+    (~0.9-1.6 MB/channel) but is built only per wordpack group (5x/s).
+    ``n_rows`` is ``C0I_ROWS`` per-block or the drift-extended row count of
+    the hoisted table.
     """
     from sydr_tpu.ops import correlator_kernel as ck
 
@@ -306,11 +311,19 @@ def _kernel_word_table(cfg: TrackingConfig, words):
     g_dim = words.shape[-1]
     wq = jnp.pad(words, (
         (0, 0), (0, 0),
-        (lead_u * q_sub, (u_pad + 1) * q_sub - lead_u * q_sub - g_dim)))
-    main = wq[..., :u_pad * q_sub].reshape(n_ch, n_rows, u_pad, q_sub)
-    nxt = wq[..., q_sub:(u_pad + 1) * q_sub].reshape(
-        n_ch, n_rows, u_pad, q_sub)
-    return jnp.concatenate([main, nxt], axis=-1)
+        (lead_u * q_sub, u_pad * q_sub - lead_u * q_sub - g_dim)))
+    tab = wq.reshape(n_ch, n_rows, u_pad, q_sub)
+    # Expansion as an exact 0/1 matmul (one nonzero per column, HIGHEST so
+    # the up-to-24-bit f32 words survive): a jnp.repeat here produced a
+    # 1.6 ms/s relayout copy + broadcast on device; the dot_general lands
+    # in the kernel's natural row-major layout copy-free.
+    expand = jnp.asarray(
+        (np.arange(q_sub)[:, None]
+         == (np.arange(128) >> (gsize.bit_length() - 1))[None, :]
+         ).astype(np.float32))
+    return jax.lax.dot_general(
+        tab, expand, (((3,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def make_wordpack(cfg: TrackingConfig, bits3x, st: ChannelState,

@@ -54,18 +54,17 @@ _ABLATE = None  # measurement hook (tools/): "notrig" | "noword" | ... | None
 
 
 def wtab_geometry(spms: int, gsize: int) -> tuple[int, int]:
-    """(LEAD_U, U_PAD) for the sublane-oriented word table.
+    """(LEAD_U, U_PAD) for the lane-expanded word table.
 
-    Table row ``u`` packs the ``2Q`` consecutive ``gsize``-sample group
-    words ``[Q*u, Q*u + 2Q)`` with ``Q = 128 // gsize``, so one table row
-    covers one 128-sample vector row plus a full row of lookahead. The
-    per-row word pick exploits ``grp_abs(row, lane) = Q*(ua + row) + j0 +
-    qd(lane)`` exactly, so a ms-run's words are a CONTIGUOUS sublane slice
-    of a ``[C0I_ROWS, U_PAD, 2Q]`` table at dynamic offset ``LEAD_U + ua``
-    (plus a ``j0``-lane rotation when ``Q > 1``). ``ua`` ranges over
-    ``[-(spms-1)//128 - 1, (spms-1)//128]`` (run b starts up to one whole
-    ms after the sub-chunk start), hence the LEAD zero rows; the tail pads
-    the longest slice (ROWS + 8 rows).
+    Table row ``u`` holds the ``Q = 128 // gsize`` group words of one
+    128-sample vector row, each broadcast over its ``gsize`` lanes:
+    ``E[u, l] = word[Q*u + (l >> gshift)]``. A ms-run's words are a
+    CONTIGUOUS sublane slice at dynamic offset ``LEAD_U + ua`` rotated by
+    ``(l0 & 127)`` lanes with a row-carry select (``words_for_run``).
+    ``ua`` ranges over ``[-(spms-1)//128 - 1, (spms-1)//128]`` (run b
+    starts up to one whole ms after the sub-chunk start), hence the LEAD
+    zero rows; the tail pads the longest slice (ROWS + 8 sample rows + 8
+    carry/alignment rows).
     """
     lead_u = ((spms - 1) >> 7) + 2
     u_pad = lead_u + ((spms - 1) >> 7) + 1 + (CHUNK // 128) + 16
@@ -87,15 +86,17 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
     it by ``k_s`` whole samples (two ``pltpu.roll``s + one lane select) —
     hardware-correlator tap semantics, ~1/3 of the per-spacing VPU work.
 
-    ``wtab_ref`` is the (1, C0I_ROWS, U_PAD, 2Q) sublane-oriented word
-    table (:func:`wtab_geometry`): per-row packed words are contiguous
-    dynamic sublane slices (one table row = one 128-sample vector row),
-    which replaced the one-hot word-pick matmuls (measured 12.4 ms/s of
-    the 37 ms/s rowsum kernel) and with them the byte-plane exactness
-    workaround — slices are exact f32. ``gsize`` in {8..128} supports any
-    sampling rate whose chip span per group packs into ``local`` <= 24
-    bits; each 128-sample row then spans ``Q + 1`` candidate group words,
-    selected per lane from the rotated slice.
+    ``wtab_ref`` is the (1, C0I_ROWS(+drift), U_PAD, 128) LANE-EXPANDED
+    word table (``batch_runtime._kernel_word_table``): row ``u``, lane
+    ``l`` holds ``word[Q*u + (l >> gshift)]``, so per-run words are one
+    contiguous dynamic sublane slice + one dynamic lane-rotation + a
+    row-carry select (``words_for_run``) — exact f32, no matmuls, no
+    gathers, and Q-INDEPENDENT cost (the earlier ``[.., 2Q]`` packed table
+    needed a 2Q-way per-lane select chain: 6.2 of the 11.2 ms/s decimated
+    kernel at Q = 4; before that, one-hot word-pick matmuls measured
+    12.4 ms/s of the 37 ms/s rowsum kernel). ``gsize`` in {8..128}
+    supports any sampling rate whose chip span per group packs into
+    ``local`` <= 24 bits.
     """
     omega = sc_ref[c, 0]
     code_step = sc_ref[c, 1]
@@ -103,9 +104,7 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
     # table's roll origin: a plain row offset into the drift-EXTENDED C0I
     # axis (0 with a per-block table). See batch_runtime.make_wordpack.
     d_off = sc_ref[c, 2].astype(jnp.int32)
-    q_sub = 128 // gsize
     gshift = gsize.bit_length() - 1
-    qlog = q_sub.bit_length() - 1
     rows = chunk // 128
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
@@ -162,31 +161,33 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
     def words_for_run(fb_s, q_start_m, m0=m0, n_rows=rows, col=None):
         """Per-sample packed words (and the run's c0i) for one ms-run.
 
-        Sample (row, lane)'s group is ``Q*(ua + row) + j0 + qd(lane)``
-        with per-run SCALARS ``ua = ((m0 - q_start_m) >> gshift) >> qlog``
-        and ``j0``, so all candidate words come from ONE dynamic sublane
-        slice of the word table (rotated by ``j0`` lanes when Q > 1) and a
-        ``Q + 1``-way per-lane select — exact f32, no matmuls, no
-        gathers. ``ua`` is negative for runs starting after the sub-chunk
-        (run b): those rows read the LEAD zero rows and are masked by
-        ``in_q1`` anyway.
+        The word table is LANE-EXPANDED (``_kernel_word_table``): table row
+        ``u``, lane ``l`` holds ``word[Q*u + (l >> gshift)]``. Sample
+        (row, lane) of a run starting at in-ms offset ``l0`` needs
+        ``word[Q*(ua + row) + aoff + ((l + rless) >> gshift)]`` with
+        per-run scalars ``ua = l0 >> 7``, ``aoff``, ``rless`` — which is
+        exactly the expanded table at ``[ua + row (+1 on lane wrap),
+        (l + r) mod 128]`` with ``r = l0 & 127``. So the pick is ONE
+        dynamic sublane slice, ONE dynamic lane-rotation and a row-carry
+        select — replacing the ``2Q``-way per-lane select chain that
+        measured 6.2 of the 11.2 ms/s decimated kernel (Q = 4 there).
+        ``ua`` is negative for runs starting after the sub-chunk (run b):
+        those rows read the LEAD zero rows and are masked by ``in_q1``
+        anyway.
         """
         col_l = col_i if col is None else col
         c0i = jnp.floor(fb_s).astype(jnp.int32)                # scalar
         rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1) + d_off
         l0 = m0 - q_start_m                                    # scalar
-        a = jax.lax.shift_right_arithmetic(l0, gshift)
-        ua = jax.lax.shift_right_arithmetic(a, qlog)
-        w2q = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows), :]
-        rless = l0 & (gsize - 1)
-        qd = (col_l + rless) >> gshift                         # in [0, Q]
-        if q_sub > 1:
-            # fold the run's sub-row group offset into the lane select
-            # (tpu.dynamic_rotate rejects the narrow 2Q-lane shape)
-            qd = qd + (a & (q_sub - 1))                        # in [0, 2Q)
-        w = jnp.zeros(col_l.shape, jnp.float32)
-        for d in range(2 * q_sub if q_sub > 1 else 2):
-            w = w + jnp.where(qd == d, w2q[:, d:d + 1], 0.0)
+        ua = jax.lax.shift_right_arithmetic(l0, 7)
+        r = l0 & 127
+        es = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows + 8), :]
+        if gsize == 128:
+            rot = es       # Q == 1: all 128 lanes hold the row's one word
+        else:
+            rot = pltpu.roll(es, (128 - r) & 127, axis=1)
+        up = pltpu.roll(rot, n_rows + 8 - 1, axis=0)
+        w = jnp.where(col_l < 128 - r, rot[0:n_rows], up[0:n_rows])
         return c0i, w
 
     if shifts is not None:
@@ -354,6 +355,7 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
     blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
     blkdiag = ((blk_r >> 7) == blk_c).astype(jnp.bfloat16)
 
+    cats = []
     for sub in range(super_n):
       k = ks * super_n + sub
       streams = _sub_streams(
@@ -364,11 +366,18 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
       # Same bf16-input / f32-accumulate products as the full-prefix
       # kernel's cs_row matmul, so row totals match it bit-for-bit up to
       # summation order.
-      s_cat = jnp.concatenate(
-          [s.astype(jnp.bfloat16) for s in streams], axis=1)
-      row_tot = jnp.dot(s_cat, blkdiag,
-                        preferred_element_type=jnp.float32)   # [ROWS, S]
-      out_ref[0, pl.ds(sub * rows, rows), :] = row_tot.astype(jnp.bfloat16)
+      cats.append(jnp.concatenate(
+          [s.astype(jnp.bfloat16) for s in streams], axis=1))
+    # ONE reduction matmul + ONE store per kernel program, not per
+    # sub-chunk: rows are independent in the contraction (bitwise-identical
+    # outputs), and the per-sub-chunk matmul/store ISSUE cost was the bulk
+    # of the kernel's rate-independent floor (~39k sub-chunks/s at the
+    # product shape). s_all is [super_n*rows, n_streams*128] bf16 —
+    # ~0.4 MB at both the full-rate and decimated shapes, comfortably VMEM.
+    s_all = jnp.concatenate(cats, axis=0)
+    row_tot = jnp.dot(s_all, blkdiag,
+                      preferred_element_type=jnp.float32)
+    out_ref[0, :, :] = row_tot.astype(jnp.bfloat16)
 
 
 @functools.partial(

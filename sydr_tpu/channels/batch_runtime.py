@@ -733,8 +733,11 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         # keep kernel programs at ~PROGRAM samples regardless of chunk: the
         # per-grid-step machinery (slices, scalar work, DMA issue) is a
         # fixed cost, so small chunks amortise it over more sub-chunks.
+        # 64k (vs 32k) became a win once the reduction matmul + store were
+        # hoisted to once per PROGRAM: decimated kernel 6.6 -> 5.6 ms/s
+        # (one program per 20 ms block); full-rate measured neutral.
         program = int(os.environ.get(
-            "SYDR_KERNEL_PROGRAM", str(ck.SUPER * ck.CHUNK)))
+            "SYDR_KERNEL_PROGRAM", str(2 * ck.SUPER * ck.CHUNK)))
         super_n = max(ck.SUPER, program // chunk)
         blockpad = super_n * chunk
         pad = (-n_win) % blockpad

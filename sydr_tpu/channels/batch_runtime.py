@@ -736,6 +736,11 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         # 64k (vs 32k) became a win once the reduction matmul + store were
         # hoisted to once per PROGRAM: decimated kernel 6.6 -> 5.6 ms/s
         # (one program per 20 ms block); full-rate measured neutral.
+        # Trade-off: the window zero-pads up to one whole program, and 64k
+        # raises that waste at the full-rate shape from ~4% to ~19% of
+        # samples (n_win=220000 vs blockpad=65536) — measured a net win
+        # regardless; re-evaluate the program size if the product shape
+        # changes (a divisor-friendly value can reclaim the padding).
         program = int(os.environ.get(
             "SYDR_KERNEL_PROGRAM", str(2 * ck.SUPER * ck.CHUNK)))
         super_n = max(ck.SUPER, program // chunk)

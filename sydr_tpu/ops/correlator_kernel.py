@@ -373,7 +373,9 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
     # outputs), and the per-sub-chunk matmul/store ISSUE cost was the bulk
     # of the kernel's rate-independent floor (~39k sub-chunks/s at the
     # product shape). s_all is [super_n*rows, n_streams*128] bf16 —
-    # ~0.4 MB at both the full-rate and decimated shapes, comfortably VMEM.
+    # [512, 768] ≈ 0.75 MB at both the full-rate and decimated product
+    # shapes (plus the per-sub-chunk cats held live before the concat),
+    # comfortably VMEM.
     s_all = jnp.concatenate(cats, axis=0)
     row_tot = jnp.dot(s_all, blkdiag,
                       preferred_element_type=jnp.float32)
@@ -392,9 +394,10 @@ def block_rowsum_streams(
 ):
     """Per-128-sample-row totals of the correlation streams.
 
-    Same inputs as :func:`block_cumsum_streams` (``words`` in the
-    sublane-oriented ``[n_ch, G_PAD, C0I_ROWS]`` layout of
-    :func:`wtab_geometry`); returns ``[n_ch, n_rows_pad, n_streams]``
+    Same inputs as :func:`block_cumsum_streams` (``words`` is the
+    lane-expanded ``[n_ch, n_rows, U_PAD, 128]`` table of
+    ``batch_runtime._kernel_word_table`` / :func:`wtab_geometry`); returns
+    ``[n_ch, n_rows_pad, n_streams]``
     bfloat16 (streams MINOR) where entry ``[c, r, s]`` is the sum of
     stream ``s`` over samples ``[128 * r, 128 * (r + 1))``. The caller
     cumsums in f32 for the inclusive row prefix. (A rows-major output
@@ -403,7 +406,7 @@ def block_rowsum_streams(
     block degenerates to per-row (1, 6) tiles.)
     """
     n_ch = words.shape[0]
-    w_rows, u_pad, twoq = words.shape[1], words.shape[2], words.shape[3]
+    w_rows, u_pad, w_lanes = words.shape[1], words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     rows = chunk // 128
@@ -428,7 +431,7 @@ def block_rowsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, w_rows, u_pad, twoq),
+        pl.BlockSpec((1, w_rows, u_pad, w_lanes),
                      lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -459,8 +462,8 @@ def block_cumsum_streams(
 
     Args:
         window_re/im: ``[n_win_pad]`` float32 (padded to CHUNK multiple).
-        words: ``[n_ch, G_PAD, C0I_ROWS]`` sublane-oriented word table
-            (:func:`wtab_geometry`).
+        words: ``[n_ch, n_rows, U_PAD, 128]`` lane-expanded word table
+            (``batch_runtime._kernel_word_table`` / :func:`wtab_geometry`).
         fb_q, phic_q: ``[n_ch, n_q]`` per-ms code/carrier phase anchors.
         scalars: ``[n_ch, 8]`` per-channel (omega, code_step, ...).
 
@@ -468,7 +471,7 @@ def block_cumsum_streams(
     ``out[..., i]`` = sum of the stream over samples [0, i].
     """
     n_ch = words.shape[0]
-    w_rows, u_pad, twoq = words.shape[1], words.shape[2], words.shape[3]
+    w_rows, u_pad, w_lanes = words.shape[1], words.shape[2], words.shape[3]
     n_streams = 2 * len(spacings)
     n_win_pad = window_re.shape[0]
     rows = chunk // 128
@@ -492,7 +495,7 @@ def block_cumsum_streams(
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, super_n, rows, 128), lambda k, c: (k, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, w_rows, u_pad, twoq),
+        pl.BlockSpec((1, w_rows, u_pad, w_lanes),
                      lambda k, c: (c, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]

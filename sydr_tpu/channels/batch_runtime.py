@@ -632,7 +632,8 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
         constraints but must reproduce the same group arithmetic)."""
         c0i = jnp.floor(fb_s).astype(jnp.int32)
         rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1)
-        wrow = jnp.zeros((n_ch, B, G), jnp.float32)
+        n_b = fb_s.shape[1]          # B, or B * n_taps in the folded call
+        wrow = jnp.zeros((n_ch, n_b, G), jnp.float32)
         for v in range(C0I_ROWS):
             wrow = wrow + jnp.where(
                 (rowsel == v)[..., None], words[:, None, v, :], 0.0)
@@ -640,18 +641,21 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
         a = l0 >> gshift                    # arithmetic shift: floor
         rless = l0 & (gsize - 1)
         qd = (lane[None, None, :] + rless[..., None]) >> gshift  # [0, Q]
-        w = jnp.zeros((n_ch, B, GS), jnp.float32)
+        w = jnp.zeros((n_ch, n_b, GS), jnp.float32)
         for d in range(q_sub + 1):
             w_d = jnp.sum(jnp.where(
                 iota_g[None, None, :] == a[..., None] + d, wrow, 0.0), -1)
             w = w + jnp.where(qd == d, w_d[..., None], 0.0)
         return c0i, w
 
-    def chips_at(tap_sp, k):
-        """Chip values of the boundary row, shifted forward ``k`` samples
-        (``chip[m + k]`` — identical semantics to the kernel's lane roll /
-        ``dense_streams``' slice)."""
-        m0k = m0 + k
+    def chips_at(tap_sp, m0k):
+        """Chip values of the boundary rows at per-element spacing
+        ``tap_sp`` and start index ``m0k`` (``chip[m + k]`` folds the tap's
+        sample shift into ``m0k`` — identical semantics to the kernel's
+        lane roll / ``dense_streams``' slice). All taps are evaluated in
+        ONE call with the tap axis stacked into the bounds axis: the
+        per-tap dense recomputes share their row geometry, so folding them
+        collapses ~T x the select/reduce fusion instances into one."""
         q0k, q1k, msnk, inq1k, lmk = runsel(m0k)
         fb0 = pick_q(fb_q, q0k)
         fb1 = pick_q(fb_q, q1k)
@@ -673,11 +677,23 @@ def _rowsum_boundary_prefix(cfg, rowtot, wre_p, wim_p, words, fb_q, phic_q,
         bit = jnp.floor(tt) - 2.0 * jnp.floor(tt * 0.5)
         return 2.0 * bit - 1.0
 
+    # One fused chips_at over all taps: stack the tap axis into the bounds
+    # axis (per-element spacing + sample-shift), then split back. The
+    # per-element arithmetic is unchanged, so values are bit-identical to
+    # the former per-tap calls.
     if shifts is not None:
         base_sp, ks = shifts
-        chip_list = [chips_at(base_sp, k) for k in ks]
+        taps = [(base_sp, k) for k in ks]
     else:
-        chip_list = [chips_at(sp, 0) for sp in spacings_eff]
+        taps = [(sp, 0) for sp in spacings_eff]
+    n_taps = len(taps)
+    k_e = jnp.asarray([k for _, k in taps], jnp.int32)
+    sp_e = jnp.asarray([s for s, _ in taps], jnp.float32)
+    m0k_all = (m0[..., None] + k_e[None, None, :]).reshape(n_ch, B * n_taps)
+    sp_all = jnp.broadcast_to(
+        sp_e[None, None, :], (n_ch, B, n_taps)).reshape(n_ch, B * n_taps)
+    chips_all = chips_at(sp_all, m0k_all).reshape(n_ch, B, n_taps, GS)
+    chip_list = [chips_all[:, :, t] for t in range(n_taps)]
 
     mask = (lane[None, None, :] < t[..., None]).astype(jnp.float32)
     parts = []

@@ -37,6 +37,7 @@ remains the fallback below that (and the CPU/interpret test oracle).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,12 @@ SUPER = 4      # min sub-chunks per program (callers raise it ~32k/chunk)
 C0I_MIN = -1
 C0I_ROWS = 4
 _ABLATE = None  # measurement hook (tools/): "notrig" | "noword" | ... | None
+# Program-global tap shifts (rowsum kernel, quantised spacings): reconstruct
+# the base chip stream on exact [rows, 128] sub-chunk grids, concatenate the
+# whole program once, and lane/row-roll the [R + 8, 128] program per tap —
+# the 8-row lookahead is then paid once per PROGRAM instead of once per
+# sub-chunk (+50% rows at the decimated shape). Ablation switch for A/B.
+_PROG_SHIFTS = os.environ.get("SYDR_PROG_SHIFTS", "1") == "1"
 
 
 def wtab_geometry(spms: int, gsize: int) -> tuple[int, int]:
@@ -322,6 +329,111 @@ def _kernel(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
           carry_ref[c, out_idx] = carry + jnp.sum(row_tot)
 
 
+def _sub_mix(spms, n_q, chunk, sc_ref, fbq_ref, phq_ref,
+             win_re_ref, win_im_ref, c, k, sub):
+    """Carrier-mixed window planes (mre, mim) for one sub-chunk, [rows, 128].
+
+    Identical arithmetic to the common part of :func:`_sub_streams` (same
+    two-run per-ms anchor logic, same direct sincos)."""
+    omega = sc_ref[c, 0]
+    rows = chunk // 128
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    m0 = k * chunk
+    q0 = m0 // spms
+    q1 = jnp.minimum(q0 + 1, n_q - 1)
+    ms_next = (q0 + 1) * spms
+    ph0 = phq_ref[c, q0]
+    ph1 = phq_ref[c, q1]
+    m = m0 + row_i * 128 + col_i
+    in_q1 = m >= ms_next
+    lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
+    phase = jnp.where(in_q1, ph1, ph0) - omega * lm.astype(jnp.float32)
+    if _ABLATE == "notrig":
+        cosv = phase * 1e-6
+        sinv = phase * -1e-6
+    else:
+        cosv = jnp.cos(phase)
+        sinv = jnp.sin(phase)
+    wre = win_re_ref[0, sub].reshape(rows, 128)
+    wim = win_im_ref[0, sub].reshape(rows, 128)
+    mre = cosv * wre - sinv * wim
+    mim = cosv * wim + sinv * wre
+    return mre, mim
+
+
+def _base_bits(spms, n_q, local, step0, gsize, base_sp,
+               sc_ref, fbq_ref, wtab_ref, c, m0, n_rows, clamp_q0=False):
+    """Base-spacing chip bits on an arbitrary row grid, ``[n_rows, 128]``.
+
+    The per-sample word-pick + exponent-bitcast extraction of
+    :func:`_sub_streams`' quantised-tap branch, factored out so the
+    program-global shifts path can evaluate it per sub-chunk on exact
+    ``[rows, 128]`` grids plus ONE 8-row virtual lookahead tail per program
+    (``clamp_q0=True`` there: the tail's ``m0`` can sit past the last
+    anchor millisecond in the zero-pad region; clamping keeps the SMEM
+    anchor reads and the word-table slice in bounds — the values multiply
+    zero window)."""
+    code_step = sc_ref[c, 1]
+    d_off = sc_ref[c, 2].astype(jnp.int32)
+    gshift = gsize.bit_length() - 1
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 128), 1)
+    q0 = m0 // spms
+    if clamp_q0:
+        q0 = jnp.minimum(q0, n_q - 1)
+    q1 = jnp.minimum(q0 + 1, n_q - 1)
+    ms_next = (q0 + 1) * spms
+    fb0 = fbq_ref[c, q0]
+    fb1 = fbq_ref[c, q1]
+    m = m0 + row_i * 128 + col_i
+    in_q1 = m >= ms_next
+    lm = jnp.where(in_q1, m - ms_next, m - q0 * spms)
+    lm_f = lm.astype(jnp.float32)
+    grp = lm >> gshift
+    cs0v = jnp.floor(grp.astype(jnp.float32) * (gsize * step0)).astype(
+        jnp.int32)
+    lead_u, u_pad = wtab_geometry(spms, gsize)
+
+    def wfr(fb_s, q_start_m):
+        c0i = jnp.floor(fb_s).astype(jnp.int32)
+        rowsel = jnp.clip(c0i - C0I_MIN, 0, C0I_ROWS - 1) + d_off
+        l0 = m0 - q_start_m
+        ua = jax.lax.shift_right_arithmetic(l0, 7)
+        if clamp_q0:
+            # deep-pad safety: a clamped q0 can push the slice offset past
+            # the table; pin it to the last in-bounds slice (those rows'
+            # values multiply zero window downstream).
+            ua = jnp.minimum(ua, u_pad - lead_u - (n_rows + 8))
+        r = l0 & 127
+        es = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows + 8), :]
+        if gsize == 128:
+            rot = es
+        else:
+            rot = pltpu.roll(es, (128 - r) & 127, axis=1)
+        up = pltpu.roll(rot, n_rows + 8 - 1, axis=0)
+        w = jnp.where(col_i < 128 - r, rot[0:n_rows], up[0:n_rows])
+        return c0i, w
+
+    if _ABLATE == "noword":
+        w = jnp.float32(11184810.0)
+        r_el = jnp.where(in_q1, fb1 + base_sp, fb0 + base_sp)
+        c0i_el = jnp.zeros_like(cs0v)
+    else:
+        c0i_a, w_a = wfr(fb0 + base_sp, q0 * spms)
+        c0i_b, w_b = wfr(fb1 + base_sp, ms_next)
+        w = jnp.where(in_q1, w_b, w_a)
+        r_el = jnp.where(in_q1, fb1 + base_sp, fb0 + base_sp)
+        c0i_el = jnp.where(in_q1, c0i_b, c0i_a)
+    if _ABLATE == "nobit":
+        return ((lm & 2) >> 1).astype(jnp.float32)
+    idxf = jnp.ceil(r_el + lm_f * code_step).astype(jnp.int32)
+    l = jnp.clip(idxf - c0i_el + 2 - cs0v, 0, local - 1)
+    p2 = pltpu.bitcast(((127 - l) << 23).astype(jnp.int32), jnp.float32)
+    t = w * p2
+    return jnp.floor(t) - 2.0 * jnp.floor(t * 0.5)
+
+
 def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
                    super_n, n_win, shifts,
                    sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref,
@@ -355,28 +467,72 @@ def _kernel_rowsum(spacings, spms, n_q, local, step0, gsize, chunk,
     blk_c = jax.lax.broadcasted_iota(jnp.int32, (n_streams * 128, n_streams), 1)
     blkdiag = ((blk_r >> 7) == blk_c).astype(jnp.bfloat16)
 
-    cats = []
-    for sub in range(super_n):
-      k = ks * super_n + sub
-      streams = _sub_streams(
-          spacings, spms, n_q, local, step0, gsize, chunk, super_n,
-          sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref, c, k,
-          shifts=shifts,
-      )
-      # Same bf16-input / f32-accumulate products as the full-prefix
-      # kernel's cs_row matmul, so row totals match it bit-for-bit up to
-      # summation order.
-      cats.append(jnp.concatenate(
-          [s.astype(jnp.bfloat16) for s in streams], axis=1))
+    if shifts is not None and _PROG_SHIFTS:
+        # Program-global tap shifts: base chips on exact [rows, 128] grids
+        # per sub-chunk (consecutive sub-chunks ARE each other's lookahead),
+        # ONE 8-row virtual tail per program, and the per-tap lane/row
+        # rolls once on the concatenated [R + 8, 128] program — the +8-row
+        # lookahead reconstruction (+50% rows at the decimated shape) and
+        # 2*super_n rolls per tap collapse to a once-per-program cost.
+        # Bit-identical to the per-sub-chunk form: interior lookahead rows
+        # equal the next sub-chunk's own rows (same m -> same run anchors
+        # -> same f32 expressions), and taps shift <= ~13 samples so the
+        # used lookahead never crosses a second ms boundary.
+        base_sp, ks_list = shifts
+        R = super_n * rows
+        bits, mres, mims = [], [], []
+        for sub in range(super_n):
+            k = ks * super_n + sub
+            mre, mim = _sub_mix(spms, n_q, chunk, sc_ref, fbq_ref, phq_ref,
+                                win_re_ref, win_im_ref, c, k, sub)
+            bits.append(_base_bits(spms, n_q, local, step0, gsize, base_sp,
+                                   sc_ref, fbq_ref, words_ref, c, k * chunk,
+                                   rows))
+            mres.append(mre)
+            mims.append(mim)
+        bits.append(_base_bits(spms, n_q, local, step0, gsize, base_sp,
+                               sc_ref, fbq_ref, words_ref, c,
+                               (ks * super_n + super_n) * chunk, 8,
+                               clamp_q0=True))
+        bit_all = jnp.concatenate(bits, axis=0)          # [R + 8, 128]
+        mre_all = jnp.concatenate(mres, axis=0)          # [R, 128]
+        mim_all = jnp.concatenate(mims, axis=0)
+        col_all = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        streams = []
+        for ksh in ks_list:
+            if ksh == 0 or _ABLATE == "noroll":
+                b = bit_all[0:R]
+            else:
+                a = pltpu.roll(bit_all, 128 - ksh, axis=1)
+                a_up = pltpu.roll(a, R + 8 - 1, axis=0)
+                b = jnp.where(col_all < 128 - ksh, a[0:R], a_up[0:R])
+            chip = 2.0 * b - 1.0
+            streams.append((chip * mre_all).astype(jnp.bfloat16))
+            streams.append((chip * mim_all).astype(jnp.bfloat16))
+        s_all = jnp.concatenate(streams, axis=1)
+    else:
+        cats = []
+        for sub in range(super_n):
+            k = ks * super_n + sub
+            streams = _sub_streams(
+                spacings, spms, n_q, local, step0, gsize, chunk, super_n,
+                sc_ref, fbq_ref, phq_ref, win_re_ref, win_im_ref, words_ref,
+                c, k, shifts=shifts,
+            )
+            # Same bf16-input / f32-accumulate products as the full-prefix
+            # kernel's cs_row matmul, so row totals match it bit-for-bit up
+            # to summation order.
+            cats.append(jnp.concatenate(
+                [s.astype(jnp.bfloat16) for s in streams], axis=1))
+        s_all = jnp.concatenate(cats, axis=0)
     # ONE reduction matmul + ONE store per kernel program, not per
     # sub-chunk: rows are independent in the contraction (bitwise-identical
     # outputs), and the per-sub-chunk matmul/store ISSUE cost was the bulk
     # of the kernel's rate-independent floor (~39k sub-chunks/s at the
     # product shape). s_all is [super_n*rows, n_streams*128] bf16 —
     # [512, 768] ≈ 0.75 MB at both the full-rate and decimated product
-    # shapes (plus the per-sub-chunk cats held live before the concat),
+    # shapes (plus the per-stream pieces held live before the concat),
     # comfortably VMEM.
-    s_all = jnp.concatenate(cats, axis=0)
     row_tot = jnp.dot(s_all, blkdiag,
                       preferred_element_type=jnp.float32)
     out_ref[0, :, :] = row_tot.astype(jnp.bfloat16)

@@ -268,7 +268,29 @@ def bench_reference_cpu():
     return ref_rtf
 
 
+def bench_parity():
+    """Pre-measurement numeric gate: production-path chip parity.
+
+    A silent backend change once corrupted every chip correlator while the
+    bench kept reporting plausible RTF (docs/performance.md, "Chip-parity
+    discipline") — so the bench now refuses to be plausible-but-corrupt:
+    it runs the 4-block closed-loop superblock-wordpack parity case
+    (tools/chip_parity.production_parity) on the measurement backend and
+    reports parity_metric / parity_ok in the JSON line.
+    """
+    if os.environ.get("BENCH_PARITY", "1") != "1":
+        return {"parity_ok": None}
+    try:
+        from tools.chip_parity import production_parity
+
+        return production_parity()
+    except Exception as e:  # parity infra failure is itself a red flag
+        return {"parity_ok": False,
+                "parity_error": f"{type(e).__name__}: {str(e)[:120]}"}
+
+
 def main():
+    parity = bench_parity()
     rtf, samples_per_s = bench_tracking(decimate=DECIMATE)
     rtf_full = rtf
     if DECIMATE > 1:
@@ -291,6 +313,7 @@ def main():
         "decimate": DECIMATE,
         "rtf_fullrate": round(rtf_full, 3),
     }
+    result.update(parity)
     print(json.dumps(result))
 
 

@@ -20,8 +20,16 @@ everywhere (misaligned word rows would collapse them). A jump past ~1
 or an amplitude collapse means the wordpack lowering broke.
 A dense-tpu != 0 or a jump to O(1) on any variant means the backend's
 Mosaic/XLA lowering changed — stop and re-verify before trusting RTF.
+
+``production_parity()`` runs just the production (superblock-wordpack,
+rowsum + quantised taps) case and returns the metric + prompt-magnitude
+ratio — ``bench.py`` gates its RTF measurement on it so a backend
+lowering change can never again produce a plausible-but-corrupt number.
 """
-import os, sys, subprocess, dataclasses
+import os
+import subprocess
+import sys
+
 import numpy as np
 
 SETUP = '''
@@ -76,7 +84,7 @@ args = dict(sampling_frequency=FS, block_ms=5, tail_ms=4,
 '''
 
 # CPU truth in a subprocess
-cpu_code = SETUP + '''
+_CPU_CODE = SETUP + '''
 jax.config.update("jax_platforms", "cpu")
 np.save("/tmp/parity_cpu.npy", corr_of(TrackingConfig(**args)))
 # Superblock truth: the XLA dense pass (no pallas) superblock on CPU —
@@ -86,54 +94,98 @@ np.save("/tmp/parity_cpu_sb.npy",
         corr_sb(TrackingConfig(**args, quantize_spacing=True)))
 print("cpu done")
 '''
-subprocess.run([sys.executable, "-c", cpu_code],
-               env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
 
-# TPU variants
-exec(SETUP)
-import jax  # noqa
-print("devices:", jax.devices(), flush=True)
-ref = np.load("/tmp/parity_cpu.npy")
-for name, cfg in (
-    ("dense-tpu", TrackingConfig(**args)),
-    ("pallas-chip-prefix", TrackingConfig(**args, use_pallas=True,
-                                          boundary_mode="prefix")),
-    ("pallas-interp-prefix", TrackingConfig(
-        **args, use_pallas=True, boundary_mode="prefix",
-        pallas_interpret=True)),
-    # quantized taps: compare against the QUANTIZED dense path (own truth)
-    ("pallas-chip-prefix-quant", TrackingConfig(
-        **args, use_pallas=True, boundary_mode="prefix",
-        quantize_spacing=True)),
-    ("pallas-chip-rowsum", TrackingConfig(**args, use_pallas=True,
-                                          boundary_mode="rowsum")),
-    ("pallas-chip-rowsum-quant", TrackingConfig(
-        **args, use_pallas=True, boundary_mode="rowsum",
-        quantize_spacing=True)),
-):
-    if "quant" in name:
-        ref = corr_of(TrackingConfig(**args, quantize_spacing=True))
-    elif name == "pallas-chip-rowsum":
-        ref = np.load("/tmp/parity_cpu.npy")
+
+def _cpu_truth():
+    subprocess.run([sys.executable, "-c", _CPU_CODE],
+                   env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
+
+
+def production_parity(ns=None):
+    """Superblock-wordpack (production numeric path) parity vs CPU truth.
+
+    Runs 4 closed-loop blocks of the rowsum + quantised-tap Pallas path on
+    the default backend and compares against the CPU dense-pass truth.
+    Returns ``{"parity_metric": max |err|/(|ref|+1),
+    "prompt_ratio": ||got_prompt|| / ||ref_prompt||, "parity_ok": bool}``.
+    ``parity_ok`` bounds the closed-loop bf16 feedback metric at 1.0 (the
+    documented "lowering broke" line; the healthy value is ~0.6-0.7 on
+    this seed) and the prompt-power ratio within 15% (a misaligned word
+    table collapses the prompts long before the metric moves).
+    """
+    if ns is None:
+        _cpu_truth()
+        ns = {}
+        exec(SETUP, ns)
+    ref = np.load("/tmp/parity_cpu_sb.npy")
+    cfg = ns["TrackingConfig"](
+        **ns["args"], use_pallas=True, boundary_mode="rowsum",
+        quantize_spacing=True)
+    got = ns["corr_sb"](cfg)
+    metric = float(np.max(np.abs(got - ref) / (np.abs(ref) + 1.0)))
+    # prompt streams are rows 2 (I) and 3 (Q) of the stacked output
+    p_got = np.hypot(got[2], got[3])
+    p_ref = np.hypot(ref[2], ref[3])
+    ratio = float(np.linalg.norm(p_got) / max(np.linalg.norm(p_ref), 1e-12))
+    ok = bool(metric <= 1.0 and 0.85 <= ratio <= 1.15)
+    return {"parity_metric": round(metric, 4),
+            "prompt_ratio": round(ratio, 4),
+            "parity_ok": ok}
+
+
+def main():
+    _cpu_truth()
+    ns = {}
+    exec(SETUP, ns)
+    import jax  # noqa
+    print("devices:", jax.devices(), flush=True)
+    TrackingConfig = ns["TrackingConfig"]
+    corr_of = ns["corr_of"]
+    args = ns["args"]
+    ref = np.load("/tmp/parity_cpu.npy")
+    for name, cfg in (
+        ("dense-tpu", TrackingConfig(**args)),
+        ("pallas-chip-prefix", TrackingConfig(**args, use_pallas=True,
+                                              boundary_mode="prefix")),
+        ("pallas-interp-prefix", TrackingConfig(
+            **args, use_pallas=True, boundary_mode="prefix",
+            pallas_interpret=True)),
+        # quantized taps: compare against the QUANTIZED dense path (own
+        # truth)
+        ("pallas-chip-prefix-quant", TrackingConfig(
+            **args, use_pallas=True, boundary_mode="prefix",
+            quantize_spacing=True)),
+        ("pallas-chip-rowsum", TrackingConfig(**args, use_pallas=True,
+                                              boundary_mode="rowsum")),
+        ("pallas-chip-rowsum-quant", TrackingConfig(
+            **args, use_pallas=True, boundary_mode="rowsum",
+            quantize_spacing=True)),
+    ):
+        if "quant" in name:
+            ref = corr_of(TrackingConfig(**args, quantize_spacing=True))
+        elif name == "pallas-chip-rowsum":
+            ref = np.load("/tmp/parity_cpu.npy")
+        try:
+            got = corr_of(cfg)
+            err = np.max(np.abs(got - ref) / (np.abs(ref) + 1.0))
+            print(f"{name}: max rel err vs CPU truth = {err:.5f}",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+    # Superblock (hoisted wordpack) on chip, production config: validates
+    # the drift-extended word table + in-kernel d_off row offset end-to-end
+    # on real Mosaic lowering (the bench path).
     try:
-        got = corr_of(cfg)
-        err = np.max(np.abs(got - ref) / (np.abs(ref) + 1.0))
-        print(f"{name}: max rel err vs CPU truth = {err:.5f}", flush=True)
-    except Exception as e:
-        print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+        res = production_parity(ns)
+        print(f"superblock-wordpack-chip: metric={res['parity_metric']} "
+              f"prompt_ratio={res['prompt_ratio']} ok={res['parity_ok']}",
               flush=True)
+    except Exception as e:
+        print(f"superblock-wordpack-chip: FAILED {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
 
-# Superblock (hoisted wordpack) on chip, production config: validates the
-# drift-extended word table + in-kernel d_off row offset end-to-end on
-# real Mosaic lowering (the bench path).
-ref_sb = np.load("/tmp/parity_cpu_sb.npy")
-try:
-    got = corr_sb(TrackingConfig(**args, use_pallas=True,
-                                 boundary_mode="rowsum",
-                                 quantize_spacing=True))
-    err = np.max(np.abs(got - ref_sb) / (np.abs(ref_sb) + 1.0))
-    print(f"superblock-wordpack-chip: max rel err vs CPU truth = "
-          f"{err:.5f}", flush=True)
-except Exception as e:
-    print(f"superblock-wordpack-chip: FAILED {type(e).__name__}: "
-          f"{str(e)[:200]}", flush=True)
+
+if __name__ == "__main__":
+    main()

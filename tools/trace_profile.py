@@ -81,7 +81,16 @@ def step_fn(mode):
 
 
 def device_ops(trace_dir):
-    """[(op_name, total_duration_ms)] summed over the device plane(s)."""
+    """[(op_name, total_duration_ms)] summed over the device plane(s).
+
+    Control-flow WRAPPER events (``%while...``, ``jit_...``, ``%call``,
+    ``%conditional``) span their whole body, whose leaf ops are emitted as
+    separate events — counting both double-counts every op inside a scan.
+    (The backend started emitting these wrapper events mid-round-3; earlier
+    traces had leaves only.) Wrappers are excluded from the totals and
+    returned separately for context. Set TRACE_DUMP=1 to print the plane /
+    line structure once for debugging.
+    """
     import glob
 
     import jax
@@ -91,17 +100,28 @@ def device_ops(trace_dir):
     assert paths, trace_dir
     data = jax.profiler.ProfileData.from_file(paths[-1])
     totals = {}
+    wrappers = {}
     for plane in data.planes:
         if "TPU" not in plane.name and "/device" not in plane.name:
             continue
+        if os.environ.get("TRACE_DUMP") == "1":
+            print(f"plane: {plane.name}")
+            for line in plane.lines:
+                n = sum(1 for _ in line.events)
+                print(f"  line: {line.name} ({n} events)")
         for line in plane.lines:
             # XLA op lines carry per-op events; steps/messages don't.
             for ev in line.events:
                 ns = ev.duration_ns
                 if ns <= 0:
                     continue
-                totals[ev.name] = totals.get(ev.name, 0.0) + ns * 1e-6
-    return sorted(totals.items(), key=lambda kv: -kv[1])
+                name = ev.name
+                is_wrapper = name.startswith(
+                    ("%while", "jit_", "jit(", "%call", "%conditional"))
+                d = wrappers if is_wrapper else totals
+                d[name] = d.get(name, 0.0) + ns * 1e-6
+    return (sorted(totals.items(), key=lambda kv: -kv[1]),
+            sorted(wrappers.items(), key=lambda kv: -kv[1]))
 
 
 def main():
@@ -122,7 +142,7 @@ def main():
             np.asarray(st.rem_code)
             wall = time.time() - t0
             jax.profiler.stop_trace()
-            ops = device_ops(td)
+            ops, wrappers = device_ops(td)
         total = sum(ms for _, ms in ops)
         print(f"\n=== boundary_mode={mode} quant={QUANTIZE} "
               f"(1 superblock = {sig_s:.1f}s signal; wall {wall:.2f}s) ===")
@@ -130,6 +150,11 @@ def main():
               f"(RTF-limit {1000 * sig_s / total:6.1f})")
         for name, ms in ops[:int(os.environ.get("TRACE_TOP", "14"))]:
             print(f"  {ms / sig_s:8.2f} ms/s  {name[:90]}")
+        if wrappers:
+            print("  -- control-flow wrappers (span their bodies; "
+                  "excluded from the total) --")
+            for name, ms in wrappers[:4]:
+                print(f"  {ms / sig_s:8.2f} ms/s  {name[:90]}")
         jax.clear_caches()
 
 

@@ -25,6 +25,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow closed-loop soak tests (also: RUN_SLOW=1)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUN_SLOW") == "1":
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # explicit -m selection overrides the default skip
+    skip = pytest.mark.skip(
+        reason="slow soak: pass --runslow (or RUN_SLOW=1, or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(20260816)

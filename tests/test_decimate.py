@@ -11,6 +11,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-second closed-loop soaks
+
 from sydr_tpu.channels.runtime import TrackingConfig
 from sydr_tpu.channels.state import FLAG_BIT_SYNC
 from sydr_tpu.receiver.session import TrackingSession

@@ -9,6 +9,7 @@ and tracking must follow to the end.
 """
 
 import numpy as np
+import pytest
 
 from sydr_tpu.channels.runtime import TrackingConfig
 from sydr_tpu.receiver.session import TrackingSession
@@ -20,6 +21,7 @@ DRIFT = 20.0        # Hz/s (compressed: ~20x a real pass)
 F0 = 1200.0
 
 
+@pytest.mark.slow
 def test_drift_beyond_rail_tracks_with_reanchoring():
     n_ms = SECONDS * 1000
     profile = F0 + DRIFT * np.arange(n_ms) * 1e-3

@@ -12,6 +12,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sydr_tpu.channels import batch_runtime as br
 from sydr_tpu.channels.runtime import TrackingConfig
@@ -111,6 +112,7 @@ def test_sharded_batch_step_rowsum_pallas_matches_single_device():
             np.asarray(out_ref[k]), np.asarray(out_sh[k]), err_msg=k)
 
 
+@pytest.mark.slow
 def test_session_with_mesh_closed_loop():
     """Full session (acquisition handoff + batch tracking) on a mesh tracks
     a synthetic satellite identically to the single-device session."""

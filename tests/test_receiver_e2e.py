@@ -133,6 +133,7 @@ def test_fix_repeatability(e2e_run):
         assert spread < 5.0, spread
 
 
+@pytest.mark.slow
 def test_fix_matches_truth_batch_runtime(e2e_run_batch):
     _, rx, _ = e2e_run_batch
     n_with_tow = sum(ch.has_tow for ch in rx.channels)

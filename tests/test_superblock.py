@@ -47,6 +47,7 @@ def test_superblock_matches_sequential():
 import pytest
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("pallas", [False, True])
 def test_superblock_exact_same_signal_alignment(pallas):
     """With acquisition forced at the same sample, outputs are identical.

@@ -45,25 +45,38 @@ def _build_demo(args):
     scenario = Scenario(rx_truth, sats, t0, fs, cn0_dbhz=47.0, seed=3)
     dec = max(1, int(args.decimate))
     fs_trk = fs / dec
+    pull_in = TrackingConfig(
+        sampling_frequency=fs_trk,
+        input_decimate=dec,
+        window_size=round(fs_trk * 1e-3) + 256,
+        runtime=args.runtime,
+        use_pallas=args.pallas,
+        # Acquisition leaves up to 50 Hz Doppler error; the batched
+        # runtime's per-block feedback cannot pull that in with the
+        # Costas-only Borre loops, so batch mode runs the Kaplan
+        # FLL-assisted profile at short blocks (stability rule:
+        # loop_bandwidth * block_length < ~0.15).
+        profile="kaplan" if args.runtime == "batch" else "borre",
+        block_ms=5 if args.runtime == "batch" else 20,
+        superblock=args.superblock if args.runtime == "batch" else 1,
+        quantize_spacing=args.quantize,
+    )
+    # Pull-in -> cruise handoff (batch runtime default): once every channel
+    # is stable the session promotes itself to the throughput-optimal
+    # cruise shape — borre loops at 20 ms blocks scanned into long
+    # superblock dispatches, the bench.py headline configuration.
+    cruise = None
+    if args.runtime == "batch" and not args.no_cruise:
+        import dataclasses as _dc
+
+        cruise = _dc.replace(
+            pull_in, profile="borre", block_ms=20,
+            superblock=max(1, int(args.cruise_superblock)))
     run_cfg = RunConfig(
         receiver=ReceiverConfig(
             prns=tuple(e.prn for e in sats),
-            tracking=TrackingConfig(
-                sampling_frequency=fs_trk,
-                input_decimate=dec,
-                window_size=round(fs_trk * 1e-3) + 256,
-                runtime=args.runtime,
-                use_pallas=args.pallas,
-                # Acquisition leaves up to 50 Hz Doppler error; the batched
-                # runtime's per-block feedback cannot pull that in with the
-                # Costas-only Borre loops, so batch mode runs the Kaplan
-                # FLL-assisted profile at short blocks (stability rule:
-                # loop_bandwidth * block_length < ~0.15).
-                profile="kaplan" if args.runtime == "batch" else "borre",
-                block_ms=5 if args.runtime == "batch" else 20,
-                superblock=args.superblock if args.runtime == "batch" else 1,
-                quantize_spacing=args.quantize,
-            ),
+            tracking=pull_in,
+            cruise_tracking=cruise,
             approx_position=tuple(rx_truth + 1000.0),
             assisted_ephemerides={e.prn: e for e in sats},
             tropo_enabled=False,
@@ -93,6 +106,12 @@ def main(argv=None) -> int:
                         help="use the fused Pallas correlation kernel")
     parser.add_argument("--superblock", type=int, default=1,
                         help="blocks per device dispatch (batch runtime)")
+    parser.add_argument("--no-cruise", action="store_true",
+                        help="stay in the pull-in configuration (no "
+                             "promotion to the cruise shape)")
+    parser.add_argument("--cruise-superblock", type=int, default=50,
+                        help="superblock of the cruise configuration "
+                             "(borre/20ms blocks after promotion)")
     parser.add_argument("--decimate", type=int, default=1,
                         help="boxcar pre-correlation decimation factor: "
                              "track at fs/D (trades ~0.2-0.5 dB of "

@@ -96,6 +96,8 @@ def save_checkpoint(receiver, path: str) -> str:
         "clock_sample": receiver.clock_sample,
         "next_meas_sample": receiver._next_meas_sample,
         "block_index": receiver._block_index,
+        "epochs_done": receiver._epochs_done,
+        "promoted": sess.promoted,
         "channels": chans,
     }
     arrays["manifest"] = np.frombuffer(
@@ -143,6 +145,14 @@ def load_checkpoint(receiver, path: str) -> None:
     receiver.clock_sample = int(manifest["clock_sample"])
     receiver._next_meas_sample = manifest["next_meas_sample"]
     receiver._block_index = int(manifest["block_index"])
+    receiver._epochs_done = int(manifest.get("epochs_done",
+                                             manifest["block_index"]))
+    if manifest.get("promoted") and sess.cruise_cfg is not None:
+        # Re-apply the pull-in -> cruise promotion (config swap only; the
+        # restored state already carries the post-promotion values).
+        sess.cfg = sess.cruise_cfg
+        sess.promoted = True
+        sess._packed_run = None
 
     receiver.channels = []
     for cd in manifest["channels"]:

@@ -48,6 +48,10 @@ class ReceiverConfig:
     acquisition: AcquisitionConfig = dataclasses.field(
         default_factory=AcquisitionConfig
     )
+    # Pull-in -> cruise handoff: when set, ``tracking`` is the pull-in
+    # configuration and the session promotes to this throughput-optimal
+    # config once every channel is stable (session.CruisePolicy).
+    cruise_tracking: TrackingConfig | None = None
     measurement_period_ms: int = 1000
     approx_position: tuple = (0.0, 0.0, 0.0)
     # Assisted mode: externally supplied ephemerides ({prn: Ephemeris}) allow
@@ -162,7 +166,8 @@ class Receiver:
     def __init__(self, cfg: ReceiverConfig):
         self.cfg = cfg
         self.session = TrackingSession(
-            cfg.tracking, list(cfg.prns), cfg.acquisition
+            cfg.tracking, list(cfg.prns), cfg.acquisition,
+            cruise=cfg.cruise_tracking,
         )
         self.channels = [_ChannelBookkeeping(p) for p in cfg.prns]
         self.fixes: list[PvtFix] = []
@@ -177,6 +182,9 @@ class Receiver:
         self._low_cn0_blocks = np.zeros(len(cfg.prns), dtype=int)
         self._acq_logged: set = set()
         self._block_index = 0
+        self._epochs_done = 0          # tracking epochs (ms) processed
+        self._pend_re = np.empty(0, dtype=np.float32)
+        self._pend_im = np.empty(0, dtype=np.float32)
         from sydr_tpu.utils.metrics import StageTimers
 
         self.timers = StageTimers()
@@ -203,21 +211,28 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def process_ms(self, iq) -> None:
-        """Process IQ (complex ndarray or (re, im) float32 tuple); length
-        must be a whole number of blocks."""
+        """Process IQ (complex ndarray or (re, im) float32 tuple).
+
+        Any length: samples buffer internally and whole (super)blocks are
+        consumed as they fill — required because the pull-in -> cruise
+        handoff changes the block shape mid-run (``cruise_tracking``)."""
         if isinstance(iq, tuple):
             re, im = iq
         else:
             re = np.ascontiguousarray(np.real(iq), dtype=np.float32)
             im = np.ascontiguousarray(np.imag(iq), dtype=np.float32)
-        spb = (self.cfg.tracking.superblock * self.cfg.tracking.block_ms
-               * self.cfg.tracking.samples_per_ms
-               * self.cfg.tracking.input_decimate)
-        assert len(re) % spb == 0, "feed whole (super)blocks"
-        for k in range(len(re) // spb):
-            sl = slice(k * spb, (k + 1) * spb)
+        self._pend_re = (np.concatenate([self._pend_re, re])
+                         if len(self._pend_re) else np.float32(re))
+        self._pend_im = (np.concatenate([self._pend_im, im])
+                         if len(self._pend_im) else np.float32(im))
+        while True:
+            spb = self.session.block_input_samples
+            if len(self._pend_re) < spb:
+                break
+            blk_re, self._pend_re = self._pend_re[:spb], self._pend_re[spb:]
+            blk_im, self._pend_im = self._pend_im[:spb], self._pend_im[spb:]
             with self.timers.time("track_block"):
-                out = self.session.process_block(re[sl], im[sl])
+                out = self.session.process_block(blk_re, blk_im)
             self.last_outputs = out
             if self.keep_outputs:
                 self.block_outputs.append(out)
@@ -243,6 +258,7 @@ class Receiver:
             with self.timers.time("measure"):
                 self._maybe_measure(out)
             self._block_index += 1
+            self._epochs_done += out["active"].shape[0]
 
     # ------------------------------------------------------------------
     def _post_block(self, out) -> None:
@@ -273,8 +289,9 @@ class Receiver:
         # Python loop was the host wall at high RTF).
         if self.db is not None and cfg.log_tracking_decimation > 0:
             step = cfg.log_tracking_decimation
-            base_epoch = self._block_index * cfg.tracking.block_ms \
-                * cfg.tracking.superblock
+            # Running epoch counter, not block_index * shape: the pull-in
+            # -> cruise handoff changes the epochs-per-block mid-run.
+            base_epoch = self._epochs_done
             es, chs = np.nonzero(out["active"][::step])
             if len(es):
                 fkeys = ("i_early", "q_early", "i_prompt", "q_prompt",

@@ -19,6 +19,7 @@ window, ``unread = samples_per_code - code_index - 1``
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,32 @@ from sydr_tpu.constants import (
     GPS_L1CA_CODE_LENGTH,
 )
 from sydr_tpu.ops import acquisition as acq
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class CruisePolicy:
+    """When to promote from the pull-in step to the cruise step.
+
+    The batch runtime's delayed-feedback stability rule forces pull-in to
+    run the Kaplan FLL-assisted profile at short blocks
+    (``loop_bandwidth * block_length < ~0.15``, ``batch_runtime`` module
+    docstring), while the throughput-optimal cruise shape is borre /
+    20 ms / long superblocks. This policy decides when every channel is
+    stable enough to migrate — the channel state pytree is
+    runtime-independent, so promotion is a config swap + re-jit at a block
+    boundary. (The reference's per-ms loop never faces this; the TPU
+    design owes the handoff to make its headline configuration the actual
+    production path.)
+    """
+
+    # consecutive qualifying process_block calls before promoting
+    stable_blocks: int = 2
+    # every TRACKING channel must estimate at least this C/N0 ...
+    min_cn0_dbhz: float = 30.0
+    # ... and have declared bit sync (20 ms epoch grid pinned)
+    require_bit_sync: bool = True
 
 
 @dataclasses.dataclass
@@ -73,15 +100,32 @@ class TrackingSession:
         prns: list[int],
         acq_cfg: AcquisitionConfig | None = None,
         mesh=None,
+        cruise: "runtime.TrackingConfig | None" = None,
+        cruise_policy: CruisePolicy | None = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``ch`` axis — the
         tracking runtime then runs channel-sharded over the mesh devices
         (``parallel.mesh.make_sharded_batch_step``); the channel count must
         divide over ``mesh.shape['ch']`` (pad ``prns`` with 0 if needed).
+
+        ``cruise``: optional throughput-optimal TrackingConfig to promote
+        to once every channel is stable (:class:`CruisePolicy`); ``cfg``
+        is then the pull-in configuration. Both must share sampling rate,
+        decimation and tail length — only the loop profile, block length
+        and superblock may differ.
         """
         self.cfg = cfg
         self.prns = list(prns)
         self.acq_cfg = acq_cfg or AcquisitionConfig()
+        self.cruise_cfg = cruise
+        self.cruise_policy = cruise_policy or CruisePolicy()
+        self.promoted = False
+        self._stable_blocks = 0
+        if cruise is not None:
+            assert cruise.tail_ms == cfg.tail_ms
+            assert cruise.samples_per_ms == cfg.samples_per_ms
+            assert cruise.input_decimate == cfg.input_decimate
+            assert cruise.intermediate_frequency == cfg.intermediate_frequency
         self.n_channels = len(prns)
         self.mesh = mesh
         self._shard_ch = None
@@ -251,6 +295,69 @@ class TrackingSession:
         ))
 
     # ------------------------------------------------------------------
+    @property
+    def block_input_samples(self) -> int:
+        """Raw input samples one ``process_block`` call consumes (callers
+        must re-read this every block: promotion changes the block shape)."""
+        return (self.cfg.superblock * self.cfg.block_ms
+                * self.cfg.samples_per_ms * self.cfg.input_decimate)
+
+    def _maybe_promote(self, out) -> None:
+        """Pull-in -> cruise handoff (see :class:`CruisePolicy`)."""
+        if self.cruise_cfg is None or self.promoted:
+            return
+        from sydr_tpu.channels.state import FLAG_BIT_SYNC
+
+        tracking = self.mode_host == MODE_TRACKING
+        if not tracking.any():
+            return
+        # Channels still on their FIRST acquisition attempt hold promotion;
+        # channels in retry backoff (already searched once) do not — a
+        # persistently weak satellite must not keep the receiver in the
+        # pull-in shape forever.
+        for i in range(self.n_channels):
+            if (self.mode_host[i] == MODE_ACQUIRING
+                    and i not in self.acq_results):
+                return
+        flags = np.asarray(out["flags"][-1])
+        cn0 = np.asarray(out["cn0"][-1])
+        pol = self.cruise_policy
+        ok = True
+        for i in np.nonzero(tracking)[0]:
+            if pol.require_bit_sync and not (int(flags[i]) & FLAG_BIT_SYNC):
+                ok = False
+                break
+            if not (cn0[i] >= pol.min_cn0_dbhz):
+                ok = False
+                break
+        self._stable_blocks = self._stable_blocks + 1 if ok else 0
+        if self._stable_blocks >= pol.stable_blocks:
+            self._promote()
+
+    def _promote(self) -> None:
+        """Swap to the cruise configuration at this block boundary.
+
+        The state pytree is runtime-independent: NCO frequencies, phase
+        remainders, sample accounting, bit-sync grid, C/N0 and counters all
+        carry over. Only the loop-filter memories are zeroed — the pull-in
+        (Kaplan) and cruise (Borre) filters hold differently-scaled
+        internal states, and a zeroed filter memory costs one bounded
+        transient epoch under the frequency/code rails.
+        """
+        old = (f"{self.cfg.profile}/{self.cfg.block_ms}ms"
+               f"/sb{self.cfg.superblock}")
+        z = jnp.zeros_like(self.state.dll_memory)
+        self.state = self._place_state(dataclasses.replace(
+            self.state, dll_memory=z, pll_memory=z, fll_memory=z,
+            fll_vel=z, fll_acc=z))
+        self.cfg = self.cruise_cfg
+        self._packed_run = None        # re-jit lazily with the cruise cfg
+        self.promoted = True
+        logger.info(
+            "promoted %s -> %s/%dms/sb%d (all channels stable)", old,
+            self.cfg.profile, self.cfg.block_ms, self.cfg.superblock)
+
+    # ------------------------------------------------------------------
     def _acq_fail_mode(self, i: int) -> int:
         """Mode after a below-threshold search: re-arm with backoff."""
         if self.acq_cfg.retry_backoff_ms <= 0:
@@ -312,6 +419,7 @@ class TrackingSession:
         for j, k in enumerate(keys_i):
             col = host_i[..., j]
             out[k] = col.astype(bool) if k in self._BOOL_KEYS else col
+        self._maybe_promote(out)
         return out
 
     _BOOL_KEYS = frozenset({"active", "bit_ready"})

@@ -1,0 +1,135 @@
+"""Pull-in -> cruise handoff: the cold start must reach the benched shape.
+
+The batch runtime pulls in with the Kaplan FLL-assisted profile at short
+blocks (delayed-feedback stability), but the throughput-optimal headline
+configuration is borre / 20 ms / long superblocks. ``TrackingSession``
+promotes itself once every channel is stable (``CruisePolicy``); these
+tests prove the promotion happens, tracking stays locked through it, and
+the 20-ms data-bit grid is continuous across the configuration swap (a
+mis-carried ``ms_counter``/``bit_edge`` would silently corrupt every
+decoded subframe downstream).
+
+Reference analog: the per-ms loop of
+``/root/reference/sydr/channel/channel_l1ca_borre.py:333-433`` never faces
+this — the TPU design owes the handoff to make its benched cruise shape the
+actual production path (round-2 verdict item 2).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sydr_tpu.channels.runtime import TrackingConfig
+from sydr_tpu.channels.state import FLAG_BIT_SYNC
+from sydr_tpu.receiver.session import TrackingSession
+from sydr_tpu.signal.synthetic import IQGenerator
+
+FS = 2e6
+SPMS = 2000
+
+
+@pytest.fixture(scope="module")
+def cruise_run():
+    prns = [5, 12]
+    dops = [1230.0, -2615.0]
+    rng = np.random.default_rng(6)
+    bits = rng.integers(0, 2, 200)
+    gen = IQGenerator(FS, noise=True, seed=6)
+    for prn, dop, cp in zip(prns, dops, (321.4, 811.9)):
+        gen.add_satellite(prn, doppler_hz=dop, code_phase_chips=cp,
+                          cn0_dbhz=47.0, nav_bits=bits)
+    pull = TrackingConfig(
+        sampling_frequency=FS, block_ms=5, tail_ms=4,
+        window_size=SPMS + 240, runtime="batch", profile="kaplan",
+        superblock=4)
+    cruise = dataclasses.replace(pull, profile="borre", block_ms=20,
+                                 superblock=5)
+    sess = TrackingSession(pull, prns, cruise=cruise)
+
+    outs = []
+    ms_done = 0
+    promoted_at = None
+    while ms_done < 2100:
+        n_ms = sess.block_input_samples // SPMS
+        iq = gen.generate_ms(n_ms)
+        out = sess.process_block(np.float32(iq.real), np.float32(iq.imag))
+        outs.append(out)
+        ms_done += n_ms
+        if sess.promoted and promoted_at is None:
+            promoted_at = ms_done
+    merged = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+    return sess, merged, promoted_at, prns, dops
+
+
+def test_promotes_to_cruise(cruise_run):
+    sess, merged, promoted_at, _, _ = cruise_run
+    assert sess.promoted, "session never promoted to the cruise config"
+    assert sess.cfg.profile == "borre" and sess.cfg.block_ms == 20
+    # Promotion should happen well before the end (stable channels at
+    # 47 dB-Hz bit-sync within a few hundred ms).
+    assert promoted_at is not None and promoted_at <= 1600, promoted_at
+
+
+def test_tracking_survives_promotion(cruise_run):
+    _, merged, promoted_at, prns, dops = cruise_run
+    for i, dop in enumerate(dops):
+        cf = merged["carrier_freq"][-100:, i]
+        assert abs(cf.mean() - dop) < 5.0, (i, cf.mean(), dop)
+        assert merged["flags"][-1, i] & FLAG_BIT_SYNC
+        # prompt power should not collapse across the handoff
+        p = np.hypot(merged["i_prompt"], merged["q_prompt"])[:, i]
+        act = merged["active"][:, i].astype(bool)
+        pre = p[:promoted_at][act[:promoted_at]][-50:].mean()
+        post = p[-100:][act[-100:]].mean()
+        assert post > 0.5 * pre, (pre, post)
+
+
+def test_bit_grid_continuous_across_promotion(cruise_run):
+    """bit_ready events must stay exactly 20 ACTIVE epochs apart through
+    the config swap — the decoded bit stream (and so every TOW anchor)
+    depends on it."""
+    _, merged, promoted_at, prns, _ = cruise_run
+    for i in range(len(prns)):
+        act = merged["active"][:, i].astype(bool)
+        ready = merged["bit_ready"][:, i].astype(bool) & act
+        ev = np.cumsum(act)[ready]
+        assert len(ev) >= 25, f"too few bits on channel {i}: {len(ev)}"
+        gaps = np.diff(ev)
+        assert (gaps == 20).all(), (i, np.unique(gaps))
+
+
+@pytest.mark.slow
+def test_cruise_e2e_fix():
+    """Full receiver cold start: acquire -> kaplan pull-in -> promote to the
+    borre/20ms/superblock cruise shape -> decode -> PVT fix on truth."""
+    import dataclasses as dc
+
+    import test_receiver_e2e as e2e
+
+    from sydr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from sydr_tpu.signal.scenario import Scenario
+
+    sats = e2e.make_sky()[:6]
+    scn = Scenario(e2e.RX_TRUTH, sats, e2e.T0, e2e.FS, cn0_dbhz=47.0,
+                   noise=True, seed=3)
+    pull = TrackingConfig(
+        sampling_frequency=e2e.FS, tail_ms=4, window_size=4224,
+        runtime="batch", profile="kaplan", block_ms=5, superblock=4)
+    cruise = dc.replace(pull, profile="borre", block_ms=20, superblock=25)
+    cfg = ReceiverConfig(
+        prns=tuple(s.prn for s in sats), tracking=pull,
+        cruise_tracking=cruise,
+        approx_position=tuple(
+            e2e.RX_TRUTH + np.array([3000.0, -2000.0, 1500.0])),
+        assisted_ephemerides={s.prn: s for s in sats},
+        tropo_enabled=False)
+    rx = Receiver(cfg)
+    for _ in range(16000 // 500):
+        rx.process_ms(scn.generate_ms(500))
+    assert rx.session.promoted, "receiver never reached the cruise shape"
+    n_with_tow = sum(ch.has_tow for ch in rx.channels)
+    assert n_with_tow >= 4, f"only {n_with_tow} channels decoded TOW"
+    assert len(rx.fixes) >= 1, "no PVT fix produced under the handoff"
+    err = np.linalg.norm(rx.fixes[-1].solution.position - e2e.RX_TRUTH)
+    assert err < 2.0, f"position error {err:.2f} m"

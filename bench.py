@@ -32,7 +32,13 @@ FS = float(os.environ.get("BENCH_FS", "10e6"))
 # device dispatches (the anchor-output Pallas kernel requires
 # 2*block_ms <= 128).
 BLOCK_MS = int(os.environ.get("BENCH_BLOCK_MS", "20"))
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "20"))
+# Measurement window: N_BLOCKS superblocks of signal per timed round.
+# The end-of-round value fetch costs one tunnel RTT (~25-30 ms on this dev
+# setup, absent on directly-attached hosts); 60 s of signal per round
+# amortises it below 0.5 ms/s so the number reflects steady streaming
+# (measured 20/40/60 s -> RTF 94.3/100.2/102.6; fit: 9.33 ms/s + 25.5 ms
+# fixed, docs/performance.md round-3).
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "60"))
 RUNTIME = os.environ.get("BENCH_RUNTIME", "batch")  # "batch" | "scan"
 USE_PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 SUPERBLOCK = int(os.environ.get("BENCH_SUPERBLOCK", "50"))
@@ -49,6 +55,9 @@ BOUNDARY = os.environ.get("BENCH_BOUNDARY", "rowsum")
 # budget (tests/test_decimate.py). The undecimated RTF is also measured
 # and reported alongside.
 DECIMATE = int(os.environ.get("BENCH_DECIMATE", "4"))
+# Pass-A epoch geometry: "scan" (recurrence) or "closed" (vectorised
+# closed form; see channels/batch_runtime._pass_a_closed).
+PASS_A = os.environ.get("BENCH_PASS_A", "closed")
 
 
 def bench_tracking(decimate=1):
@@ -71,6 +80,7 @@ def bench_tracking(decimate=1):
         quantize_spacing=QUANTIZE,
         boundary_mode=BOUNDARY,
         input_decimate=decimate,
+        pass_a=PASS_A,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)

@@ -116,7 +116,18 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
     Returns dict of ``[block_ms(+1), n_ch]`` arrays: required, active,
     boundaries b (consumed-sample offsets), rem_code per epoch, rem_carrier
     per epoch, plus end-of-block unread and per-ms phase grids for Pass B.
+
+    Two equivalent implementations (``cfg.pass_a``): the original
+    epoch-recurrence scan, and a closed-form vectorised evaluation (no
+    scan, no carry copies — docs/performance.md round-3 roadmap item 3).
     """
+    if cfg.pass_a == "closed":
+        return _pass_a_closed(cfg, st)
+    return _pass_a_scan(cfg, st)
+
+
+def _pass_a_scan(cfg: TrackingConfig, st: ChannelState):
+    """Reference-structured pass A: one scan step per epoch."""
     spms = cfg.samples_per_ms
     fs = cfg.sampling_frequency
 
@@ -172,6 +183,115 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
     seq["rem_carrier_end"] = rem_carrier_end
     seq["unread_end"] = unread_end
     seq["consumed_end"] = consumed_end
+    seq["code_step"] = code_step
+    seq["omega"] = omega
+    seq["delta"] = delta
+    return seq
+
+
+def _pass_a_closed(cfg: TrackingConfig, st: ChannelState):
+    """Closed-form pass A: all epoch boundaries in one vectorised shot.
+
+    Under frozen rates the scan recurrence has an exact closed form: the
+    cumulative samples consumed after epoch ``e`` is
+    ``C(e) = ceil(((e+1)*L - rem0) / code_step)``. Evaluated naively that
+    ceil sits on a ~2e5-sample magnitude (f32 ulp ~0.016 samples), so it
+    is computed cancellation-free on SMALL values only:
+
+        C(e)   = (e+1)*spms + ceil(-(rem0 + (e+1)*eps) / code_step)
+        rem(e) = rem0 + e*eps + (C(e-1) - e*spms) * code_step
+
+    with ``eps = spms * delta / fs`` (~1e-3 chips): exact in reals because
+    ``spms * GPS_L1CA_CODE_FREQ / fs == L``, and finer than the scan's f32
+    error accumulation (every operand stays O(10)). Carrier remainders use
+    the same decomposition mod 2 pi.
+
+    Semantics vs the scan: identical whenever a channel can run every
+    epoch of the block (the production case — the session's window rail
+    keeps ``spms <~ unread <~ tail*spms``). A channel that cannot (sample
+    deficit right after acquisition handoff) runs NONE of the block's
+    epochs instead of a suffix: ``active`` is all-or-nothing, the deficit
+    fills while the state stays frozen, and the channel starts one block
+    later. Loop-filter trajectories therefore match the scan to f32
+    rounding, not bit-exactly (tests/test_batch_runtime.py re-baselined
+    oracles, round-3 roadmap item 3).
+    """
+    spms = cfg.samples_per_ms
+    fs = cfg.sampling_frequency
+    n_epochs = cfg.block_ms
+
+    doppler = st.carrier_freq - cfg.intermediate_frequency
+    aiding = (
+        doppler * (GPS_L1CA_CODE_FREQ / GPS_L1CA_CARRIER_FREQ)
+        if cfg.carrier_aiding else 0.0
+    )
+    delta = st.code_freq_offset + aiding
+    code_step = (GPS_L1CA_CODE_FREQ + delta) / fs
+    omega = TWO_PI * st.carrier_freq / fs
+
+    e_i = jnp.arange(n_epochs, dtype=jnp.int32)[:, None]       # [E, 1]
+    e_f = e_i.astype(jnp.float32)
+    eps = delta * (float(spms) / fs)                           # [n_ch]
+
+    # dd(e) = C(e) - (e+1)*spms, an O(10) integer; C(-1) = 0 -> dd0 row.
+    g = -(st.rem_code[None, :] + (e_f + 1.0) * eps[None, :]) \
+        / code_step[None, :]
+    dd = jnp.ceil(g).astype(jnp.int32)                          # [E, n_ch]
+    c_full = (e_i + 1) * spms + dd                              # C(e)
+    c_prev = jnp.concatenate(
+        [jnp.zeros((1,) + dd.shape[1:], jnp.int32), c_full[:-1]], axis=0)
+    required = c_full - c_prev
+
+    # Sample-budget feasibility, exact incl. the availability clamp:
+    # w(e) = min(unread0 + (e+1)*spms, (tail+e+1)*spms) is the would-be
+    # unread+consumed total; the block runs iff w(e) >= C(e) for all e.
+    w = jnp.minimum(st.unread[None, :] + (e_i + 1) * spms,
+                    (cfg.tail_ms + e_i + 1) * spms)
+    tracking = st.mode == MODE_TRACKING
+    all_ok = tracking[None, :] & jnp.all(w >= c_full, axis=0,
+                                         keepdims=True)         # [1, n_ch]
+    active = jnp.broadcast_to(all_ok, required.shape)
+
+    d_prev = c_prev - e_i * spms                                # O(10) ints
+    rem_code_seq = st.rem_code[None, :] + e_f * eps[None, :] \
+        + d_prev.astype(jnp.float32) * code_step[None, :]
+    # Carrier phase consumed before epoch e: omega * C(e-1), decomposed so
+    # every operand entering mod stays small at any IF.
+    om_ms = jnp.mod(omega * float(spms), TWO_PI)                # [n_ch]
+    rem_carrier_seq = jnp.mod(
+        st.rem_carrier[None, :]
+        - (om_ms[None, :] * e_f + omega[None, :]
+           * d_prev.astype(jnp.float32)),
+        TWO_PI,
+    )
+    req_eff = jnp.where(active, required, 0)
+    c_eff = jnp.where(active, c_full, 0)
+    c_prev_eff = jnp.where(active, c_prev, 0)
+
+    seq = {
+        "required": required,
+        "active": active,
+        "b_start": c_prev_eff,
+        "rem_code": jnp.where(active, rem_code_seq, st.rem_code[None, :]),
+        "rem_carrier": jnp.where(active, rem_carrier_seq,
+                                 st.rem_carrier[None, :]),
+        "unread_after": w - c_eff,
+    }
+    last = n_epochs - 1
+    e_end = jnp.float32(n_epochs)
+    rem_code_end = st.rem_code + e_end * eps \
+        + (c_full[last] - n_epochs * spms).astype(jnp.float32) * code_step
+    rem_carrier_end = jnp.mod(
+        st.rem_carrier - (om_ms * e_end + omega * (
+            c_full[last] - n_epochs * spms).astype(jnp.float32)),
+        TWO_PI,
+    )
+    act1 = all_ok[0]
+    seq["rem_code_end"] = jnp.where(act1, rem_code_end, st.rem_code)
+    seq["rem_carrier_end"] = jnp.where(act1, rem_carrier_end,
+                                       st.rem_carrier)
+    seq["unread_end"] = w[last] - jnp.where(act1, c_full[last], 0)
+    seq["consumed_end"] = jnp.where(act1, c_full[last], 0)
     seq["code_step"] = code_step
     seq["omega"] = omega
     seq["delta"] = delta

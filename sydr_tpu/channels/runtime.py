@@ -165,6 +165,12 @@ class TrackingConfig:
     #     are picked with take_along_axis. The round-1 production design,
     #     kept as the fallback/oracle form.
     boundary_mode: str = "rowsum"
+    # Batch-runtime pass A (epoch geometry): "closed" (vectorised closed
+    # form — no scan, no carry copies; all-or-nothing block activation,
+    # f32-equivalent trajectories; production default, measured 89.6 ->
+    # 93.1 decimated RTF on chip) or "scan" (the original per-epoch
+    # recurrence, kept as the oracle form; see batch_runtime._pass_a_*).
+    pass_a: str = "closed"
 
     @property
     def samples_per_ms(self) -> int:

@@ -24,24 +24,13 @@ def _build_demo(args):
 
     from sydr_tpu.channels.runtime import TrackingConfig
     from sydr_tpu.config import RunConfig
-    from sydr_tpu.nav.ephemeris import Ephemeris
     from sydr_tpu.receiver.receiver import ReceiverConfig
-    from sydr_tpu.signal.scenario import Scenario
+    from sydr_tpu.signal.scenario import (
+        DEMO_RX_TRUTH, Scenario, demo_ephemerides)
 
-    rx_truth = np.array([2795125.165, 1236112.522, 5579646.006])
+    rx_truth = np.array(DEMO_RX_TRUTH)
     t0, week, fs = 302400.0, 2190, float(args.fs)
-    elements = [(2.094, 1.571), (1.047, 1.571), (3.142, 1.571),
-                (2.094, 0.785), (0.0, 1.571), (4.189, 1.571)]
-    sats = [
-        Ephemeris(
-            prn=k + 1, week=week, iodc=20 + k, iode=20 + k, toc=t0, toe=t0,
-            af0=2e-5 * ((k % 5) - 2), af1=1e-12, tgd=1e-9 * (k % 4),
-            ecc=0.003 + 0.0012 * k, sqrt_a=5153.7, m0=m0, omega0=om0,
-            i0=0.96, deltan=4.5e-9, crs=15.0, crc=180.0, cuc=-8e-7,
-            cus=7e-6, cic=-1e-7, cis=2e-8, omega_dot=-8e-9, i_dot=3e-10,
-        )
-        for k, (om0, m0) in enumerate(elements)
-    ]
+    sats = demo_ephemerides(t0, week)
     scenario = Scenario(rx_truth, sats, t0, fs, cn0_dbhz=47.0, seed=3)
     dec = max(1, int(args.decimate))
     fs_trk = fs / dec

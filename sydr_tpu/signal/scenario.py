@@ -50,6 +50,32 @@ from sydr_tpu.signal import cacode
 _CHIPS_PER_BIT = GPS_L1CA_CODE_LENGTH * LNAV_MS_PER_BIT
 
 
+def demo_ephemerides(t0: float = 302400.0, week: int = 2190):
+    """Six-satellite demo sky with good geometry over the Tampere-ish
+    truth position used by the demo/tests (el 22-81 deg, azimuth-diverse).
+
+    Shared by ``main.py --demo``, the e2e tests and the reference-parity
+    harness so they all exercise the identical constellation.
+    """
+    from sydr_tpu.nav.ephemeris import Ephemeris
+
+    elements = [(2.094, 1.571), (1.047, 1.571), (3.142, 1.571),
+                (2.094, 0.785), (0.0, 1.571), (4.189, 1.571)]
+    return [
+        Ephemeris(
+            prn=k + 1, week=week, iodc=20 + k, iode=20 + k, toc=t0, toe=t0,
+            af0=2e-5 * ((k % 5) - 2), af1=1e-12, tgd=1e-9 * (k % 4),
+            ecc=0.003 + 0.0012 * k, sqrt_a=5153.7, m0=m0, omega0=om0,
+            i0=0.96, deltan=4.5e-9, crs=15.0, crc=180.0, cuc=-8e-7,
+            cus=7e-6, cic=-1e-7, cis=2e-8, omega_dot=-8e-9, i_dot=3e-10,
+        )
+        for k, (om0, m0) in enumerate(elements)
+    ]
+
+
+DEMO_RX_TRUTH = (2795125.165, 1236112.522, 5579646.006)
+
+
 @dataclasses.dataclass
 class ScenarioSat:
     eph: object                   # Ephemeris
@@ -187,6 +213,39 @@ class Scenario:
             )
         self._ms_generated += n_ms
         return out
+
+    # ------------------------------------------------------------------
+    def write_file(
+        self,
+        path: str,
+        n_ms: int,
+        dtype: str = "int8",
+        scale: float | None = None,
+        chunk_ms: int = 1000,
+    ) -> None:
+        """Stream ``n_ms`` of interleaved-IQ samples to a binary file.
+
+        The format matches the reference's RF front-end
+        (``/root/reference/sydr/signal/rfsignal.py``: int8/int16
+        interleaved I,Q), so one file can feed both receivers for parity
+        runs. Generated in ``chunk_ms`` pieces: the full capture never has
+        to fit in memory."""
+        if scale is None:
+            # Headroom for the multi-satellite sum + noise: unit-variance
+            # complex noise dominates; +/-6 sigma fits comfortably in int8.
+            scale = 120.0 / 6.0 if dtype == "int8" else 30000.0 / 6.0
+        lim = 127 if dtype == "int8" else 32767
+        with open(path, "wb") as f:
+            done = 0
+            while done < n_ms:
+                n = min(chunk_ms, n_ms - done)
+                iq = self.generate_ms(n)
+                interleaved = np.empty(2 * len(iq), dtype=np.float64)
+                interleaved[0::2] = iq.real * scale
+                interleaved[1::2] = iq.imag * scale
+                np.clip(np.rint(interleaved), -lim, lim).astype(
+                    dtype).tofile(f)
+                done += n
 
     # ------------------------------------------------------------------
     def truth_state(self, t: float):

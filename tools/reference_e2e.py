@@ -1,0 +1,500 @@
+"""Full-receiver parity vs the reference on a SHARED synthetic IQ file.
+
+BASELINE.md demands "pseudoranges match reference within its SNR/accuracy
+bound; PVT within 1 m of reference". The per-ms DSP loop and acquisition
+are already parity-tested side-by-side (tests/test_reference_parity.py);
+this harness closes the last gap: it runs the reference's own *receiver*
+(``/root/reference/main.py`` machinery — ``ReceiverGPSL1CA`` with its
+multiprocessing channel manager, Borre channels, LNAV decoding and LSE,
+``receiver_gps_l1ca.py:162-381``) and the sydr_tpu receiver on the SAME
+int8 IQ capture written by the truth simulator, then compares:
+
+  * position fixes, epoch-paired by absolute sample index (BASELINE:
+    "PVT within 1 m of reference");
+  * pseudoranges as between-satellite single differences at each paired
+    epoch (removes the two receivers' independent clock estimates);
+  * both receivers' measured end-to-end real-time factors.
+
+Usage (CPU is fine; the reference is CPU-only anyway)::
+
+    env PYTHONPATH=/root/repo python tools/reference_e2e.py \
+        [--fs 4e6] [--seconds 40] [--out /tmp/refparity] [--keep]
+
+Prints one JSON summary line and a human-readable table. Skips (exit 0,
+``"skipped": true``) when /root/reference is unavailable so the repo
+stays standalone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sqlite3
+import sys
+import time
+import types
+
+_here = os.path.dirname(os.path.abspath(__file__))
+_repo = os.path.dirname(_here)
+if _repo not in sys.path:
+    sys.path.insert(0, _repo)
+
+import numpy as np
+
+REF = "/root/reference"
+
+T0 = 302400.0
+WEEK = 2190
+RX_TRUTH = None  # filled from scenario module
+
+
+# ---------------------------------------------------------------------------
+# capture + config generation
+# ---------------------------------------------------------------------------
+
+def write_capture(out_dir: str, fs: float, seconds: int, seed: int = 3):
+    """Truth scenario -> int8 interleaved IQ file + ini configs."""
+    from sydr_tpu.signal.scenario import (
+        DEMO_RX_TRUTH, Scenario, demo_ephemerides)
+
+    global RX_TRUTH
+    RX_TRUTH = np.asarray(DEMO_RX_TRUTH)
+    sats = demo_ephemerides(T0, WEEK)
+    scn = Scenario(RX_TRUTH, sats, T0, fs, cn0_dbhz=47.0, seed=seed)
+    path = os.path.join(out_dir, "capture.bin")
+    t0 = time.time()
+    scn.write_file(path, seconds * 1000)
+    print(f"wrote {path} ({os.path.getsize(path)/1e6:.0f} MB, "
+          f"{seconds} s @ {fs/1e6:g} Msps) in {time.time()-t0:.0f} s")
+    return path, sats
+
+
+def write_ini(out_dir: str, capture: str, fs: float, seconds: int,
+              prns, name: str) -> str:
+    """One reference-format ini consumed by BOTH receivers."""
+    approx = RX_TRUTH + np.array([3000.0, -2000.0, 1500.0])
+    ini = f"""[DEFAULT]
+name          = {name}
+nb_channels   = {len(prns)}
+ms_to_process = {seconds * 1000}
+outfolder     = {out_dir}/{name}_results
+
+approx_position_x  = {approx[0]:.3f}
+approx_position_y  = {approx[1]:.3f}
+approx_position_z  = {approx[2]:.3f}
+
+reference_position_x = {RX_TRUTH[0]:.3f}
+reference_position_y = {RX_TRUTH[1]:.3f}
+reference_position_z = {RX_TRUTH[2]:.3f}
+
+[RFSIGNAL]
+filepath = {capture}
+sampling_frequency  = {fs:g}
+intermediate_frequency  = 0.0
+data_size = 8
+is_complex = true
+
+[SATELLITES]
+include_prn = {",".join(str(p) for p in prns)}
+
+[MEASUREMENTS]
+frequency = 1
+pseudorange = True
+doppler     = False
+
+[AGNSS]
+agnss_enabled = False
+
+[CHANNELS]
+gps_l1ca = {REF}/config/channels/channel_GPS_L1CA_borre.ini
+"""
+    path = os.path.join(out_dir, f"{name}.ini")
+    with open(path, "w") as f:
+        f.write(ini)
+    os.makedirs(f"{out_dir}/{name}_results", exist_ok=True)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# reference side
+# ---------------------------------------------------------------------------
+
+def _shim_reference_deps():
+    """Stub the reference's GUI-only deps (enlighten/termcolor) — not
+    baked into this image and irrelevant to numerics — and restore the
+    NumPy 1.x aliases the reference uses (it predates NumPy 2.0)."""
+    for name, val in (("NaN", np.nan), ("Inf", np.inf),
+                      ("float_", np.float64), ("int_", np.int64)):
+        if not hasattr(np, name):
+            try:
+                setattr(np, name, val)
+            except Exception:
+                pass
+    if "enlighten" not in sys.modules:
+        m = types.ModuleType("enlighten")
+
+        class _NoopMeta(type):
+            # class-level access too (annotations like
+            # ``enlighten.Manager.counter`` in enlightengui.py)
+            def __getattr__(cls, _):
+                return _Noop
+
+        class _Noop(metaclass=_NoopMeta):
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, *a, **k):
+                return _Noop()
+
+            def __getattr__(self, _):
+                return _Noop()
+
+        m.Manager = _Noop
+        # Any other attribute (StatusBar, Counter, ... used as type
+        # annotations in enlightengui.py) resolves to the same no-op.
+        m.__getattr__ = lambda name: _Noop
+        sys.modules["enlighten"] = m
+    if "termcolor" not in sys.modules:
+        m = types.ModuleType("termcolor")
+        m.colored = lambda s, *a, **k: s
+        sys.modules["termcolor"] = m
+    if "gps_time" not in sys.modules:
+        # Minimal GPSTime (week_number / time_of_week arithmetic) covering
+        # the reference's sydr/utils/time.py usage. Leap seconds are
+        # irrelevant: both receivers live purely in the GPS time frame and
+        # from_datetime/to_datetime only need to round-trip consistently.
+        import datetime as _dt
+
+        _EPOCH = _dt.datetime(1980, 1, 6)
+
+        class GPSTime:
+            def __init__(self, week_number=0, time_of_week=0.0):
+                self.week_number = int(week_number)
+                self.time_of_week = float(time_of_week)
+                self._norm()
+
+            def _norm(self):
+                while self.time_of_week >= 604800.0:
+                    self.time_of_week -= 604800.0
+                    self.week_number += 1
+                while self.time_of_week < 0.0:
+                    self.time_of_week += 604800.0
+                    self.week_number -= 1
+
+            @classmethod
+            def from_datetime(cls, dt):
+                total = (dt - _EPOCH).total_seconds()
+                wk = int(total // 604800.0)
+                return cls(wk, total - wk * 604800.0)
+
+            def to_datetime(self):
+                return _EPOCH + _dt.timedelta(
+                    seconds=self.week_number * 604800.0 + self.time_of_week)
+
+            def __add__(self, seconds):
+                return GPSTime(self.week_number,
+                               self.time_of_week + float(seconds))
+
+            __radd__ = __add__
+
+            def __sub__(self, other):
+                if isinstance(other, GPSTime):
+                    return ((self.week_number - other.week_number) * 604800.0
+                            + self.time_of_week - other.time_of_week)
+                return GPSTime(self.week_number,
+                               self.time_of_week - float(other))
+
+            @property
+            def seconds(self):
+                return int(self.time_of_week)
+
+            @property
+            def femtoseconds(self):
+                return int((self.time_of_week - int(self.time_of_week))
+                           * 1e15)
+
+        m = types.ModuleType("gps_time")
+        m.GPSTime = GPSTime
+        sys.modules["gps_time"] = m
+    if "pymap3d" not in sys.modules:
+        # Coordinate conversions backed by sydr_tpu.nav.geodesy (the
+        # reference only uses these for reporting, not for the PVT solve).
+        from sydr_tpu.nav import geodesy as _geo
+
+        m = types.ModuleType("pymap3d")
+
+        def _rad(v, deg):
+            return np.deg2rad(v) if deg else v
+
+        def geodetic2ecef(lat, lon, h, deg=True):
+            p = _geo.geodetic_to_ecef(_rad(lat, deg), _rad(lon, deg), h)
+            return p[0], p[1], p[2]
+
+        def ecef2geodetic(x, y, z, deg=True):
+            lat, lon, h = _geo.ecef_to_geodetic(np.array([x, y, z]))
+            if deg:
+                lat, lon = np.rad2deg(lat), np.rad2deg(lon)
+            return lat, lon, h
+
+        def ecef2enu(x, y, z, lat0, lon0, h0, deg=True):
+            ref = _geo.geodetic_to_ecef(_rad(lat0, deg), _rad(lon0, deg), h0)
+            e, n, u = _geo.ecef_to_enu(np.array([x, y, z]), ref)
+            return e, n, u
+
+        def ecef2aer(x, y, z, lat0, lon0, h0, deg=True):
+            ref = _geo.geodetic_to_ecef(_rad(lat0, deg), _rad(lon0, deg), h0)
+            el, az = _geo.elevation_azimuth(np.array([x, y, z]), ref)
+            rng = float(np.linalg.norm(np.array([x, y, z]) - ref))
+            if deg:
+                az, el = np.rad2deg(az), np.rad2deg(el)
+            return az, el, rng
+
+        m.geodetic2ecef = geodetic2ecef
+        m.ecef2geodetic = ecef2geodetic
+        m.ecef2enu = ecef2enu
+        m.ecef2aer = ecef2aer
+        sys.modules["pymap3d"] = m
+
+
+class _DummyGUI:
+    """Headless stand-in for EnlightenGUI (display only, no numerics)."""
+
+    def __getattr__(self, _name):
+        return lambda *a, **k: None
+
+
+def run_reference(ini_path: str):
+    """Run the reference receiver on the capture; return (db_path, rtf)."""
+    _shim_reference_deps()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import configparser
+    import logging
+
+    logging.getLogger().setLevel(logging.WARNING)
+    from sydr.receiver.receiver_gps_l1ca import ReceiverGPSL1CA
+
+    cfg = configparser.ConfigParser()
+    cfg.read(ini_path)
+    receiver = ReceiverGPSL1CA(cfg, overwrite=True, gui=_DummyGUI())
+    ms = int(cfg["DEFAULT"]["ms_to_process"])
+    t0 = time.time()
+    receiver.run()
+    wall = time.time() - t0
+    receiver.close()
+    rtf = ms * 1e-3 / wall
+    db = os.path.join(cfg["DEFAULT"]["outfolder"],
+                      f"{cfg['DEFAULT']['name']}.db")
+    print(f"reference: {ms} ms in {wall:.0f} s (e2e RTF {rtf:.2f}) -> {db}")
+    return db, rtf
+
+
+def read_fixes_ref(db_path: str):
+    """Reference DB -> fixes [(sample, xyz)] + pseudoranges {sample: {prn: pr}}."""
+    con = sqlite3.connect(db_path)
+    cur = con.cursor()
+    chan2prn = dict(cur.execute(
+        "SELECT id, satellite_id FROM channel").fetchall())
+    fixes = cur.execute(
+        "SELECT time_sample, x, y, z, clock FROM position "
+        "ORDER BY time_sample").fetchall()
+    prs = {}
+    for ch_id, sample, value in cur.execute(
+            "SELECT channel_id, time_sample, value FROM measurement "
+            "WHERE type LIKE '%PSEUDORANGE%' OR type LIKE '%Pseudorange%'"
+            " OR type LIKE '%pseudorange%'").fetchall():
+        prs.setdefault(sample, {})[chan2prn[ch_id]] = value
+    con.close()
+    return ([(s, np.array([x, y, z]), c) for s, x, y, z, c in fixes], prs)
+
+
+# ---------------------------------------------------------------------------
+# sydr_tpu side
+# ---------------------------------------------------------------------------
+
+def run_ours(ini_path: str, runtime: str, use_pallas: bool):
+    """Run the sydr_tpu receiver on the same ini; return (db_path, rtf)."""
+    import dataclasses
+
+    from sydr_tpu import config as config_mod
+    from sydr_tpu.receiver.receiver import Receiver
+    from sydr_tpu.signal.rf import RFConfig, RFFileSource
+
+    run_cfg = config_mod.load(ini_path)
+    trk = run_cfg.receiver.tracking
+    if runtime == "batch":
+        # Production configuration: kaplan short-block pull-in promoted to
+        # the borre/20 ms/superblock cruise shape (main.py --demo default).
+        pull_in = dataclasses.replace(
+            trk, runtime="batch", profile="kaplan", block_ms=5,
+            superblock=1, use_pallas=use_pallas)
+        cruise = dataclasses.replace(
+            pull_in, profile="borre", block_ms=20, superblock=10)
+        run_cfg.receiver = dataclasses.replace(
+            run_cfg.receiver, tracking=pull_in, cruise_tracking=cruise)
+    else:
+        run_cfg.receiver = dataclasses.replace(
+            run_cfg.receiver,
+            tracking=dataclasses.replace(trk, runtime="scan"))
+    run_cfg.receiver = dataclasses.replace(
+        run_cfg.receiver, tropo_enabled=False,
+        database_path=os.path.join(run_cfg.out_folder,
+                                   f"{run_cfg.name}.db"))
+    os.makedirs(run_cfg.out_folder, exist_ok=True)
+
+    src = RFFileSource(RFConfig(
+        filepath=run_cfg.rf_filepath,
+        sampling_frequency=trk.sampling_frequency * trk.input_decimate,
+        intermediate_frequency=trk.intermediate_frequency,
+        data_size=run_cfg.rf_data_size,
+        is_complex=run_cfg.rf_is_complex,
+    ))
+    receiver = Receiver(run_cfg.receiver)
+    t0 = time.time()
+    processed = 0
+    chunk = 1000
+    try:
+        while processed < run_cfg.ms_to_process:
+            n = min(chunk, run_cfg.ms_to_process - processed)
+            try:
+                re, im = src.read_ms(n)
+            except EOFError:
+                break
+            receiver.process_ms((re, im))
+            processed += n
+    finally:
+        src.close()
+    wall = time.time() - t0
+    rtf = processed * 1e-3 / wall
+    if receiver.db is not None:
+        receiver.db.commit()
+        receiver.db.close()
+    db = run_cfg.receiver.database_path
+    print(f"sydr_tpu ({runtime}): {processed} ms in {wall:.0f} s "
+          f"(e2e RTF {rtf:.2f}) -> {db}")
+    return db, rtf
+
+
+def read_fixes_ours(db_path: str):
+    con = sqlite3.connect(db_path)
+    cur = con.cursor()
+    fixes = cur.execute(
+        "SELECT sample, x, y, z, clock_bias FROM position "
+        "ORDER BY sample").fetchall()
+    prs = {}
+    for prn, sample, value in cur.execute(
+            "SELECT prn, sample, value FROM measurement m JOIN position p "
+            "ON m.tow = p.tow WHERE m.mtype = 'pseudorange'").fetchall():
+        prs.setdefault(sample, {})[prn] = value
+    con.close()
+    return ([(s, np.array([x, y, z]), c) for s, x, y, z, c in fixes], prs)
+
+
+# ---------------------------------------------------------------------------
+# comparison
+# ---------------------------------------------------------------------------
+
+def compare(ref, ours, fs: float):
+    """Pair epochs by sample index; position deltas + single-diff PRs."""
+    ref_fixes, ref_prs = ref
+    our_fixes, our_prs = ours
+    out = {"n_ref_fixes": len(ref_fixes), "n_our_fixes": len(our_fixes)}
+    if not ref_fixes or not our_fixes:
+        return out, []
+    pairs = []
+    our_samples = np.array([f[0] for f in our_fixes], dtype=np.float64)
+    for s_ref, p_ref, _ in ref_fixes:
+        k = int(np.argmin(np.abs(our_samples - s_ref)))
+        if abs(our_samples[k] - s_ref) <= 0.5 * fs:   # within half a second
+            pairs.append((s_ref, p_ref, our_fixes[k]))
+    dps = [np.linalg.norm(p_ref - f[1]) for _, p_ref, f in pairs]
+    err_ref = [np.linalg.norm(p - RX_TRUTH) for _, p, _ in ref_fixes]
+    err_our = [np.linalg.norm(f[1] - RX_TRUTH) for f in our_fixes]
+    out.update({
+        "n_paired": len(pairs),
+        "pvt_delta_mean_m": round(float(np.mean(dps)), 3) if dps else None,
+        "pvt_delta_max_m": round(float(np.max(dps)), 3) if dps else None,
+        "ref_err_vs_truth_mean_m": round(float(np.mean(err_ref)), 3),
+        "ours_err_vs_truth_mean_m": round(float(np.mean(err_our)), 3),
+    })
+
+    # Pseudorange single differences (between satellites, removes each
+    # receiver's clock): for each paired epoch compare
+    # (pr_i - pr_j)_ours vs (pr_i - pr_j)_ref for the common PRN set.
+    sd_errs = []
+    for s_ref, _, (s_our, _, _) in pairs:
+        rp = ref_prs.get(s_ref)
+        op = our_prs.get(s_our)
+        if not rp or not op:
+            continue
+        common = sorted(set(rp) & set(op))
+        if len(common) < 2:
+            continue
+        rv = np.array([rp[p] for p in common])
+        ov = np.array([op[p] for p in common])
+        d = ov - rv
+        sd = d - d.mean()          # remove common (clock-like) offset
+        sd_errs.append(np.max(np.abs(sd)))
+    if sd_errs:
+        out["pr_singlediff_mean_m"] = round(float(np.mean(sd_errs)), 3)
+        out["pr_singlediff_max_m"] = round(float(np.max(sd_errs)), 3)
+    return out, pairs
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fs", type=float, default=4e6)
+    ap.add_argument("--seconds", type=int, default=40)
+    ap.add_argument("--out", default="/tmp/refparity")
+    ap.add_argument("--runtime", choices=("scan", "batch"), default="batch")
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the capture + DBs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for the sydr_tpu run")
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(os.path.join(REF, "sydr")):
+        print(json.dumps({"skipped": True,
+                          "reason": "reference not available"}))
+        return 0
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    os.makedirs(args.out, exist_ok=True)
+    capture, sats = write_capture(args.out, args.fs, args.seconds,
+                                  args.seed)
+    prns = [e.prn for e in sats]
+    ini_ref = write_ini(args.out, capture, args.fs, args.seconds, prns,
+                        "ref")
+    ini_our = write_ini(args.out, capture, args.fs, args.seconds, prns,
+                        "tpu")
+
+    our_db, our_rtf = run_ours(ini_our, args.runtime, args.pallas)
+    ref_db, ref_rtf = run_reference(ini_ref)
+
+    summary, pairs = compare(read_fixes_ref(ref_db),
+                             read_fixes_ours(our_db), args.fs)
+    summary.update({
+        "reference_e2e_rtf": round(ref_rtf, 3),
+        "sydr_tpu_e2e_rtf": round(our_rtf, 3),
+        "fs": args.fs, "seconds": args.seconds,
+        "runtime": args.runtime,
+        "pvt_within_1m": (summary.get("pvt_delta_max_m") is not None
+                          and summary["pvt_delta_max_m"] < 1.0),
+    })
+    print(json.dumps(summary))
+    if not args.keep:
+        shutil.rmtree(args.out, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -123,7 +123,11 @@ def _pass_a(cfg: TrackingConfig, st: ChannelState):
     """
     if cfg.pass_a == "closed":
         return _pass_a_closed(cfg, st)
-    return _pass_a_scan(cfg, st)
+    if cfg.pass_a == "scan":
+        return _pass_a_scan(cfg, st)
+    raise ValueError(
+        f"TrackingConfig.pass_a must be 'closed' or 'scan', "
+        f"got {cfg.pass_a!r}")
 
 
 def _pass_a_scan(cfg: TrackingConfig, st: ChannelState):
@@ -206,15 +210,20 @@ def _pass_a_closed(cfg: TrackingConfig, st: ChannelState):
     error accumulation (every operand stays O(10)). Carrier remainders use
     the same decomposition mod 2 pi.
 
-    Semantics vs the scan: identical whenever a channel can run every
+    Semantics vs the scan: equivalent whenever a channel can run every
     epoch of the block (the production case — the session's window rail
     keeps ``spms <~ unread <~ tail*spms``). A channel that cannot (sample
     deficit right after acquisition handoff) runs NONE of the block's
     epochs instead of a suffix: ``active`` is all-or-nothing, the deficit
     fills while the state stays frozen, and the channel starts one block
-    later. Loop-filter trajectories therefore match the scan to f32
-    rounding, not bit-exactly (tests/test_batch_runtime.py re-baselined
-    oracles, round-3 roadmap item 3).
+    later. Numerics: the ceil() here is evaluated on different (smaller)
+    operands than the scan's, so an epoch boundary sitting within f32
+    rounding of an integer may tie-break one sample differently — each
+    form is self-consistent with its own boundary (the epoch phases are
+    derived from the same C(e)), so loop-filter trajectories match the
+    scan to f32 rounding / one-sample boundary ties, not bit-exactly.
+    Pinned by tests/test_pass_a_closed.py (IF=0 exact-geometry slice plus
+    nonzero-IF tie-break-tolerant cases).
     """
     spms = cfg.samples_per_ms
     fs = cfg.sampling_frequency

@@ -1,10 +1,16 @@
 """Closed-form pass A vs the scanned recurrence (roadmap round-3 item 3).
 
-The closed form must reproduce the scan's epoch geometry exactly on the
-integer fields (boundaries, required, active) and to f32 rounding on the
-phase remainders whenever every epoch can run — the production case. Its
-one intended semantic difference (all-or-nothing block activation under a
-sample deficit) is pinned separately.
+At IF=0 / block_ms=20 (the tested production slice) the closed form
+reproduces the scan's epoch geometry exactly on the integer fields
+(boundaries, required, active) and to f32 rounding on the phase
+remainders whenever every epoch can run. At nonzero IF (large omega per
+sample) the two forms evaluate their ceil() on different operands, so an
+epoch boundary within f32 rounding of an integer may tie-break ONE
+sample differently; each form stays self-consistent with its own
+boundary, and the nonzero-IF tests below admit exactly that one-sample
+tie-break. The closed form's one intended semantic difference
+(all-or-nothing block activation under a sample deficit) is pinned
+separately.
 """
 
 import dataclasses
@@ -64,6 +70,47 @@ def test_geometry_matches_scan(seed):
         if "carrier" in k:  # circular
             d = np.minimum(d, 2 * np.pi - d)
         assert d.max() < tol, (k, d.max())
+
+
+@pytest.mark.parametrize("if_hz,block_ms,seed", [
+    (2.58e6, 20, 0), (4.13e6, 20, 1), (2.58e6, 50, 2), (1.25e6, 64, 3),
+])
+def test_geometry_nonzero_if_one_sample_ties(if_hz, block_ms, seed):
+    """Nonzero IF: boundaries may tie-break one sample apart; each form is
+    self-consistent, so phase remainders differ by at most (boundary
+    diff) x (per-sample rate) on top of f32 rounding."""
+    st = _tracking_state(seed=seed)
+    st = dataclasses.replace(
+        st, carrier_freq=st.carrier_freq + np.float32(if_hz))
+    cfg = _cfg(block_ms=block_ms, intermediate_frequency=if_hz)
+    scan = br._pass_a_scan(cfg, st)
+    closed = br._pass_a_closed(cfg, st)
+    np.testing.assert_array_equal(np.asarray(scan["active"]),
+                                  np.asarray(closed["active"]))
+    # cumulative boundaries within one sample everywhere
+    c_scan = np.cumsum(np.asarray(scan["required"]), axis=0)
+    c_closed = np.cumsum(np.asarray(closed["required"]), axis=0)
+    bdiff = c_scan - c_closed
+    assert np.abs(bdiff).max() <= 1, np.abs(bdiff).max()
+    # phases: admit the tie-break's one-sample phase step + f32 rounding
+    code_step = np.asarray(closed["code_step"])[None, :]
+    omega = np.asarray(closed["omega"])[None, :]
+    bprev = np.concatenate([np.zeros_like(bdiff[:1]), bdiff[:-1]], axis=0)
+    d_code = np.abs(np.asarray(scan["rem_code"])
+                    - np.asarray(closed["rem_code"]))
+    assert (d_code <= np.abs(bprev) * code_step + 5e-4).all(), d_code.max()
+    d_car = np.abs(np.asarray(scan["rem_carrier"])
+                   - np.asarray(closed["rem_carrier"]))
+    d_car = np.minimum(d_car, 2 * np.pi - d_car)
+    # scan accumulates mod-2pi error over epochs at large omega; allow a
+    # generous f32 floor on top of the tie-break term
+    assert (d_car <= np.abs(bprev) * omega + 0.05).all(), d_car.max()
+
+
+def test_pass_a_rejects_unknown_mode():
+    st = _tracking_state(n_ch=2, seed=0)
+    with pytest.raises(ValueError, match="pass_a"):
+        br._pass_a(_cfg(pass_a="close"), st)
 
 
 def test_unread_clamp_matches_scan():

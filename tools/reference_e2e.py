@@ -405,9 +405,13 @@ def compare(ref, ours, fs: float):
         return out, []
     pairs = []
     our_samples = np.array([f[0] for f in our_fixes], dtype=np.float64)
+    used = np.zeros(len(our_fixes), dtype=bool)   # one-to-one pairing
     for s_ref, p_ref, _ in ref_fixes:
-        k = int(np.argmin(np.abs(our_samples - s_ref)))
-        if abs(our_samples[k] - s_ref) <= 0.5 * fs:   # within half a second
+        d = np.abs(our_samples - s_ref)
+        d[used] = np.inf
+        k = int(np.argmin(d))
+        if d[k] <= 0.25 * fs:   # within a quarter second (1 Hz fix rate)
+            used[k] = True
             pairs.append((s_ref, p_ref, our_fixes[k]))
     dps = [np.linalg.norm(p_ref - f[1]) for _, p_ref, f in pairs]
     err_ref = [np.linalg.norm(p - RX_TRUTH) for _, p, _ in ref_fixes]

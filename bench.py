@@ -12,17 +12,42 @@ per-sample numpy EPL correlator (same operation count as
 
 Extra context fields (acquisition grid points/s, samples/s) are included in
 the same JSON object.
+
+Budget discipline (round-3 lesson: BENCH_r03.json is rc=124/parsed=null —
+a benchmark that cannot finish under the driver does not exist):
+
+  * every stage runs under one global wall-clock deadline
+    (``BENCH_DEADLINE`` seconds, default 540); a stage is skipped when the
+    time remaining is below its worst-case estimate, its fields stay null;
+  * a watchdog thread force-emits the JSON line with whatever has
+    finished if the main thread is still working near the deadline;
+  * the chip-parity gate loads its CPU truth from the committed cache
+    (tools/parity_truth.npz) instead of a minutes-long CPU subprocess;
+  * stage order is by importance: parity gate -> decimated RTF (headline)
+    -> reference CPU -> acquisition -> full-rate RTF.
+
+The parity gate GATES: on ``parity_ok == False`` the headline value is
+nulled and the process exits non-zero.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 _here = os.path.dirname(os.path.abspath(
     globals().get("__file__", "/root/repo/bench.py")
 ))
 sys.path.insert(0, _here)
+
+# Persistent XLA compile cache: the large jit programs (superblock
+# tracking, acquisition) dominate the bench wall when cold (~minutes over
+# the dev tunnel). The cache dir lives in-repo (gitignored) so a bench run
+# during the build round pre-warms the driver's end-of-round run.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_here, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
@@ -58,6 +83,68 @@ DECIMATE = int(os.environ.get("BENCH_DECIMATE", "4"))
 # Pass-A epoch geometry: "scan" (recurrence) or "closed" (vectorised
 # closed form; see channels/batch_runtime._pass_a_closed).
 PASS_A = os.environ.get("BENCH_PASS_A", "closed")
+
+
+# --------------------------------------------------------------------------
+# budget framework
+# --------------------------------------------------------------------------
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE", "540"))
+_T0 = time.time()
+_DONE = threading.Event()
+RESULT: dict = {}
+_BASE_FIELDS = (
+    "value", "vs_baseline", "samples_per_s", "acq_grid_points_per_s",
+    "reference_cpu_rtf_per_channel", "rtf_fullrate", "parity_ok",
+)
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.time() - _T0)
+
+
+def _emit_json() -> None:
+    out = {
+        "metric": f"rtf_{N_CHANNELS}ch_{FS/1e6:.0f}msps",
+        "unit": "x_realtime",
+        "decimate": DECIMATE,
+        "n_channels": N_CHANNELS,
+    }
+    for k in _BASE_FIELDS:
+        out.setdefault(k, None)
+    out.update(RESULT)
+    # The parity gate gates: a failed lowering must never ship a
+    # plausible RTF as the headline.
+    if out.get("parity_ok") is False:
+        out["value"] = None
+    print(json.dumps(out), flush=True)
+
+
+def _watchdog() -> None:
+    slack = _remaining() - 5.0
+    if slack > 0:
+        _DONE.wait(slack)
+    if not _DONE.is_set():
+        RESULT["partial"] = True
+        RESULT.setdefault("skipped", []).append("deadline")
+        _emit_json()
+        os._exit(4 if RESULT.get("parity_ok") is False else 0)
+
+
+def _run_stage(name: str, est_s: float, fn) -> bool:
+    """Run ``fn`` if the remaining budget covers ``est_s``; else skip."""
+    if _remaining() < est_s:
+        RESULT.setdefault("skipped", []).append(name)
+        return False
+    t0 = time.time()
+    try:
+        fn()
+        return True
+    except Exception as e:
+        RESULT.setdefault("errors", {})[name] = (
+            f"{type(e).__name__}: {str(e)[:120]}")
+        return False
+    finally:
+        RESULT.setdefault("stage_s", {})[name] = round(time.time() - t0, 1)
 
 
 def bench_tracking(decimate=1):
@@ -143,12 +230,18 @@ def bench_tracking(decimate=1):
     st, out = step(state)
     np.asarray(st.rem_code)
 
-    # Best-of-rounds: the first post-compile round on the dev tunnel runs
-    # ~10% slow while it settles (docs/performance.md, methodology).
-    signal_s = N_BLOCKS * BLOCK_MS * 1e-3 * (
-        SUPERBLOCK if RUNTIME == "batch" else 1)
+    # The first post-compile dispatches on the dev tunnel run ~10% slow
+    # while it settles (docs/performance.md, methodology): burn a short
+    # settle prefix instead of a full best-of-2 (round-3's second full
+    # 60-s round helped blow the driver budget, BENCH_r03 rc=124).
+    for _ in range(max(2, N_BLOCKS // 10)):
+        st, out = step(st)
+    np.asarray(st.rem_code)
+
+    per_block_s = BLOCK_MS * 1e-3 * (SUPERBLOCK if RUNTIME == "batch" else 1)
+    signal_s = N_BLOCKS * per_block_s
     best = None
-    for _ in range(int(os.environ.get("BENCH_ROUNDS", "2"))):
+    for _ in range(int(os.environ.get("BENCH_ROUNDS", "1"))):
         t0 = time.time()
         for _ in range(N_BLOCKS):
             st, out = step(st)
@@ -300,31 +393,48 @@ def bench_parity():
 
 
 def main():
-    parity = bench_parity()
-    rtf, samples_per_s = bench_tracking(decimate=DECIMATE)
-    rtf_full = rtf
-    if DECIMATE > 1:
-        rtf_full, _ = bench_tracking(decimate=1)
-    grid_pts = bench_acquisition()
-    ref_rtf = bench_reference_cpu()
-    result = {
-        "metric": f"rtf_{N_CHANNELS}ch_{FS/1e6:.0f}msps",
-        "value": round(rtf, 3),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / ref_rtf, 3),
-        "samples_per_s": round(samples_per_s, 1),
-        "acq_grid_points_per_s": round(grid_pts, 1),
-        "reference_cpu_rtf_per_channel": round(ref_rtf, 3),
-        "n_channels": N_CHANNELS,
-        # front-end boxcar decimation factor of the headline number (the
-        # device consumes the full FS stream inside the timed step; see
-        # tests/test_decimate.py for the accuracy budget), plus the
-        # undecimated RTF for like-for-like comparison.
-        "decimate": DECIMATE,
-        "rtf_fullrate": round(rtf_full, 3),
-    }
-    result.update(parity)
-    print(json.dumps(result))
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def st_parity():
+        RESULT.update(bench_parity())
+
+    def st_decimated():
+        rtf, sps = bench_tracking(decimate=DECIMATE)
+        # headline value: front-end boxcar decimation (the device consumes
+        # the full FS stream inside the timed step; accuracy budget in
+        # tests/test_decimate.py).
+        RESULT["value"] = round(rtf, 3)
+        RESULT["samples_per_s"] = round(sps, 1)
+
+    def st_ref_cpu():
+        RESULT["reference_cpu_rtf_per_channel"] = round(
+            bench_reference_cpu(), 3)
+        if RESULT.get("value"):
+            RESULT["vs_baseline"] = round(
+                RESULT["value"] / RESULT["reference_cpu_rtf_per_channel"], 3)
+
+    def st_acq():
+        RESULT["acq_grid_points_per_s"] = round(bench_acquisition(), 1)
+
+    def st_fullrate():
+        if DECIMATE > 1:
+            RESULT["rtf_fullrate"] = round(bench_tracking(decimate=1)[0], 3)
+        else:
+            RESULT["rtf_fullrate"] = RESULT.get("value")
+
+    # Worst-case stage estimates assume COLD compiles over the dev tunnel;
+    # with the persistent compile cache warm they finish far faster.
+    _run_stage("parity", 30.0, st_parity)
+    if RESULT.get("parity_ok") is False:
+        _DONE.set()
+        _emit_json()
+        raise SystemExit(4)
+    _run_stage("tracking_decimated", 60.0, st_decimated)
+    _run_stage("reference_cpu", 12.0, st_ref_cpu)
+    _run_stage("acquisition", 45.0, st_acq)
+    _run_stage("tracking_fullrate", 45.0, st_fullrate)
+    _DONE.set()
+    _emit_json()
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sydr_tpu.channels import runtime as runtime_mod
 from sydr_tpu.channels.runtime import TrackingConfig
 from sydr_tpu.channels.state import (
     FLAG_BIT_SYNC,
@@ -1071,7 +1072,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
             == new_ms_counter[:, None]
         ).astype(jnp.int32)
         new_hist = edge_hist + onehot * flip_now[:, None].astype(jnp.int32)
-        declare = ~had_sync & (jnp.sum(new_hist, -1) >= cfg.bit_sync_flips)
+        declare = ~had_sync & runtime_mod._bit_sync_declare(cfg, new_hist)
         new_edge = jnp.where(
             declare, jnp.argmax(new_hist, -1).astype(jnp.int32), bit_edge
         )

@@ -75,6 +75,19 @@ class TrackingConfig:
     carrier_aiding: bool = True
     min_convergence_ms: int = 100  # bit-sync arming delay (reference :30)
     bit_sync_flips: int = 10       # sign flips needed to declare bit sync
+    # Early declaration: a UNANIMOUS histogram (every observed flip in one
+    # bin) of at least this many flips is conclusive on its own — nav data
+    # can go seconds without a transition (zero-heavy subframe-1 words),
+    # so waiting for ``bit_sync_flips`` can stall a healthy channel.
+    # 0 disables the early path.
+    bit_sync_unanimous: int = 5
+    # Dominance gate on the normal (>= bit_sync_flips) declaration: the
+    # histogram mode must hold at least this fraction of all observed
+    # flips, else counting continues. A diffuse histogram means the flips
+    # are noise (false lock / unconverged PLL) and an argmax declaration
+    # would mis-anchor the bit edge — exactly the reference's first-flip
+    # failure mode (channel_l1ca_borre.py:399-407) this method replaces.
+    bit_sync_dominance: float = 0.6
     # Channel profile: "borre" (DLL+Costas PLL, 3 correlators) or "kaplan"
     # (FLL-assisted PLL + lock-state machine, 5 correlators; reference
     # channel_l1ca_kaplan.py).
@@ -179,6 +192,28 @@ class TrackingConfig:
     @property
     def window_samples(self) -> int:
         return (self.tail_ms + self.block_ms) * self.samples_per_ms
+
+
+def _bit_sync_declare(cfg: TrackingConfig, edge_hist):
+    """Bit-edge declaration rule from a mod-20 flip histogram ``[ch, 20]``.
+
+    Two paths: (a) unanimous — every observed flip in one bin and at least
+    ``bit_sync_unanimous`` of them (conclusive even when the nav data then
+    goes seconds without a transition); (b) volume — at least
+    ``bit_sync_flips`` flips AND the mode bin holds ``bit_sync_dominance``
+    of them (a diffuse histogram is noise; declaring on its argmax would
+    mis-anchor the bit edge like the reference's first-flip method does,
+    tools/reference_e2e.py "ref_bitsync_slips")."""
+    total = jnp.sum(edge_hist, axis=-1)
+    mode = jnp.max(edge_hist, axis=-1)
+    unanimous = (
+        (mode == total) & (total >= cfg.bit_sync_unanimous)
+        if cfg.bit_sync_unanimous > 0 else jnp.zeros_like(total, bool)
+    )
+    dominant = (total >= cfg.bit_sync_flips) & (
+        mode.astype(jnp.float32)
+        >= cfg.bit_sync_dominance * total.astype(jnp.float32))
+    return unanimous | dominant
 
 
 def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
@@ -291,8 +326,7 @@ def _epoch(cfg: TrackingConfig, codes, window_re, window_im, carry,
         jnp.arange(20, dtype=jnp.int32)[None, :] == ms_counter[:, None]
     ).astype(jnp.int32)
     edge_hist = st.edge_hist + onehot * flip_now[:, None].astype(jnp.int32)
-    total_flips = jnp.sum(edge_hist, axis=-1)
-    declare = ~had_bit_sync & (total_flips >= cfg.bit_sync_flips)
+    declare = ~had_bit_sync & _bit_sync_declare(cfg, edge_hist)
     bit_edge = jnp.where(
         declare, jnp.argmax(edge_hist, axis=-1).astype(jnp.int32), st.bit_edge
     )

@@ -29,6 +29,7 @@ from sydr_tpu.channels.runtime import TrackingConfig
 from sydr_tpu.channels.state import MODE_TRACKING
 from sydr_tpu.constants import (
     AVG_TRAVEL_TIME_MS,
+    GPS_L1CA_CARRIER_FREQ,
     GPS_L1CA_CODE_FREQ,
     GPS_L1CA_CODE_LENGTH,
     SPEED_OF_LIGHT,
@@ -74,9 +75,24 @@ class ReceiverConfig:
     reacq_cn0_threshold: float = 25.0
     reacq_blocks: int = 25
     # Channels still without bit sync after this many tracked code periods
-    # are false-locked (e.g. cross-correlation capture during pull-in) and
-    # are reset to reacquire. 0 disables.
+    # AND with a weak PLL lock indicator are false-locked (e.g.
+    # cross-correlation capture or a +-25 Hz Costas alias during pull-in)
+    # and are reset to reacquire. A phase-LOCKED channel (NBD/NBP above
+    # ``reacq_no_bitsync_pll``) is legitimately waiting for a data-bit
+    # transition — zero-heavy LNAV words can go seconds without one — and
+    # gets until ``reacq_no_bitsync_hard_factor`` times the budget before
+    # the reset fires regardless. 0 disables.
     reacq_no_bitsync_epochs: int = 4000
+    reacq_no_bitsync_pll: float = 0.75
+    reacq_no_bitsync_hard_factor: int = 4
+    # Carrier-smoothed pseudoranges (Hatch filter): blend each raw code
+    # pseudorange with the previous smoothed value propagated by the
+    # integrated carrier phase (accumulated from the per-epoch tracked
+    # Doppler). Cuts code thermal noise by ~sqrt(T/1s) while the carrier
+    # keeps the absolute scale; an improvement over the reference, which
+    # forms code-only pseudoranges (receiver_gps_l1ca.py:239). Time
+    # constant in seconds; 0 disables.
+    smoothing_time_s: float = 0.0
     # Persistence (None = no database).
     database_path: str | None = None
     log_tracking_decimation: int = 20
@@ -180,6 +196,10 @@ class Receiver:
         self.keep_outputs = False
         self.last_outputs: dict | None = None
         self._low_cn0_blocks = np.zeros(len(cfg.prns), dtype=int)
+        # Carrier-smoothing state: integrated tracked Doppler [cycles] per
+        # channel plus the per-channel Hatch filter memory.
+        self._phase_cycles = np.zeros(len(cfg.prns), dtype=np.float64)
+        self._smooth: dict[int, tuple] = {}   # i -> (phase_at, value, n)
         self._acq_logged: set = set()
         self._block_index = 0
         self._epochs_done = 0          # tracking epochs (ms) processed
@@ -264,6 +284,15 @@ class Receiver:
     def _post_block(self, out) -> None:
         """Per-block logging, lock monitoring and reacquisition."""
         cfg = self.cfg
+        # Integrated carrier (for Hatch smoothing): each tracked epoch spans
+        # one code period (1 ms to within dop/f_L1), so the accumulated
+        # Doppler cycles are sum(active * (f_carrier - f_IF)) * 1 ms.
+        if cfg.smoothing_time_s > 0:
+            f_if = cfg.tracking.intermediate_frequency
+            act = np.asarray(out["active"], dtype=bool)
+            cf = np.asarray(out["carrier_freq"], dtype=np.float64)
+            self._phase_cycles += 1e-3 * np.sum(
+                np.where(act, cf - f_if, 0.0), axis=0)
         # Log acquisition results once per handoff.
         for i, res in self.session.acq_results.items():
             key = (i, res["code_index"], round(res["doppler"]))
@@ -325,10 +354,16 @@ class Receiver:
                 self._low_cn0_blocks[i] += 1
             else:
                 self._low_cn0_blocks[i] = 0
+            # No bit sync: reset quickly when the PLL is NOT locked (false
+            # lock / noise capture); a phase-locked channel is just waiting
+            # for a data transition and only hits the hard backstop.
+            synced = bool(int(out["flags"][-1, i]) & FLAG_BIT_SYNC)
+            pll_weak = float(out["pll_lock"][-1, i]) < cfg.reacq_no_bitsync_pll
+            budget = cfg.reacq_no_bitsync_epochs
             no_bitsync = (
-                cfg.reacq_no_bitsync_epochs > 0
-                and ch.n_codes > cfg.reacq_no_bitsync_epochs
-                and not (int(out["flags"][-1, i]) & FLAG_BIT_SYNC)
+                budget > 0 and not synced
+                and ((ch.n_codes > budget and pll_weak)
+                     or ch.n_codes > budget * cfg.reacq_no_bitsync_hard_factor)
             )
             if self._low_cn0_blocks[i] >= cfg.reacq_blocks or no_bitsync:
                 reason = ("no bit sync (false lock?)" if no_bitsync
@@ -338,6 +373,30 @@ class Receiver:
                 self.session.reset_channel(i)
                 self.channels[i] = _ChannelBookkeeping(ch.prn)
                 self._low_cn0_blocks[i] = 0
+                self._smooth.pop(i, None)
+
+    # ------------------------------------------------------------------
+    def _smooth_pseudorange(self, i: int, pr: float) -> float:
+        """Hatch filter: carrier-propagate the previous smoothed value and
+        blend the raw code pseudorange in with weight 1/n (n capped at
+        ``smoothing_time_s`` / measurement period). A raw-vs-predicted gap
+        beyond 30 m (cycle slip, lock transient) restarts the filter."""
+        lam = SPEED_OF_LIGHT / GPS_L1CA_CARRIER_FREQ
+        phase = float(self._phase_cycles[i])
+        prev = self._smooth.get(i)
+        if prev is not None:
+            phase0, val0, n = prev
+            predicted = val0 - lam * (phase - phase0)
+            if abs(pr - predicted) <= 30.0:
+                n_max = max(2, round(
+                    self.cfg.smoothing_time_s * 1e3
+                    / self.cfg.measurement_period_ms))
+                n = min(n + 1, n_max)
+                smoothed = pr / n + (n - 1) / n * predicted
+                self._smooth[i] = (phase, smoothed, n)
+                return smoothed
+        self._smooth[i] = (phase, pr, 1)
+        return pr
 
     # ------------------------------------------------------------------
     def _transmit_time_at(self, i: int, sample: int,
@@ -457,6 +516,8 @@ class Receiver:
             # used here).
             pr += clk * SPEED_OF_LIGHT - eph.tgd * SPEED_OF_LIGHT
             pr -= self._atmospheric_delay(eph, t_rx, tx_times[i])
+            if self.cfg.smoothing_time_s > 0:
+                pr = self._smooth_pseudorange(i, pr)
             prs.append(pr)
             raw_prs.append(raw)
             ephs.append(eph)
@@ -514,6 +575,14 @@ class Receiver:
         # Steer the receiver clock with the solved bias (reference :378).
         self.clock_tow = t_rx - sol.clock_bias_m / SPEED_OF_LIGHT
         self.clock_sample = sample
+        # The steering shifts every future raw pseudorange by -bias; keep
+        # the Hatch memories in the steered frame so the carrier-propagated
+        # prediction stays consistent.
+        if self._smooth:
+            self._smooth = {
+                i: (ph, val - sol.clock_bias_m, n)
+                for i, (ph, val, n) in self._smooth.items()
+            }
         logger.info(
             "fix @%0.3f: %s bias=%.1fm nsat=%d", t_rx,
             np.array2string(sol.position, precision=2), sol.clock_bias_m,

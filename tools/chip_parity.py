@@ -95,10 +95,52 @@ np.save("/tmp/parity_cpu_sb.npy",
 print("cpu done")
 '''
 
+# Committed truth cache: computing the CPU dense-pass truth costs minutes
+# (a fresh jit of the full superblock program), which is exactly what
+# blew the round-3 driver bench budget (BENCH_r03.json rc=124). The
+# arrays are deterministic functions of SETUP + the tracking sources, so
+# they are cached on disk keyed by a hash of those inputs and refreshed
+# (tools/make_parity_truth.py) whenever the semantics change.
+TRUTH_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "parity_truth.npz")
 
-def _cpu_truth():
+
+def _truth_key() -> str:
+    import hashlib
+
+    import sydr_tpu.channels.batch_runtime as _br
+    import sydr_tpu.channels.runtime as _rt
+    import sydr_tpu.channels.state as _st
+    import sydr_tpu.ops.correlator_kernel as _ck
+    import sydr_tpu.ops.tracking as _tk
+    import sydr_tpu.signal.cacode as _cc
+    import sydr_tpu.signal.synthetic as _sy
+
+    h = hashlib.sha256(SETUP.encode())
+    for mod in (_br, _rt, _st, _tk, _cc, _sy, _ck):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
+def _cpu_truth(force: bool = False):
+    """Per-block + superblock CPU dense-pass truth -> /tmp/parity_cpu*.npy.
+
+    Loads the committed cache when its key matches the current sources;
+    recomputes in a CPU subprocess (and refreshes the cache) otherwise.
+    """
+    key = _truth_key()
+    if not force and os.path.exists(TRUTH_FILE):
+        z = np.load(TRUTH_FILE, allow_pickle=False)
+        if str(z["key"]) == key:
+            np.save("/tmp/parity_cpu.npy", z["per_block"])
+            np.save("/tmp/parity_cpu_sb.npy", z["superblock"])
+            return
     subprocess.run([sys.executable, "-c", _CPU_CODE],
                    env={**os.environ, "JAX_PLATFORMS": "cpu"}, check=True)
+    np.savez(TRUTH_FILE, key=key,
+             per_block=np.load("/tmp/parity_cpu.npy"),
+             superblock=np.load("/tmp/parity_cpu_sb.npy"))
 
 
 def production_parity(ns=None):

@@ -89,6 +89,10 @@ def main(argv=None) -> int:
     parser.add_argument("--fs", type=float, default=4e6,
                         help="demo sampling frequency [Hz]")
     parser.add_argument("--out", default=".results", help="output folder")
+    parser.add_argument("--log-config", default=None,
+                        help="logging.ini in the reference's fileConfig "
+                             "format (overrides the built-in layered "
+                             "console+file setup)")
     parser.add_argument("--runtime", choices=("scan", "batch"),
                         default="batch")
     parser.add_argument("--pallas", action="store_true",
@@ -121,9 +125,17 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", "cpu")
 
-    logging.basicConfig(
-        level=logging.DEBUG if args.verbose else logging.INFO,
-        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    # Layered logging (reference logger.py:22-30 + config/logging.ini):
+    # INFO console + DEBUG file in the output folder; --log-config applies
+    # a reference-format logging.ini verbatim. The file handler is added
+    # here with the CLI --out (config runs may override the folder, but
+    # logging must exist before config parsing can be logged).
+    from sydr_tpu.utils.logconfig import configure_logging
+
+    configure_logging(
+        out_folder=args.out,
+        console_level="DEBUG" if args.verbose else "INFO",
+        config_path=args.log_config,
     )
 
     import dataclasses

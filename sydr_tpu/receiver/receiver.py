@@ -262,23 +262,40 @@ class Receiver:
                     out["bit_ip_sum"][:, i],
                 )
                 for ev in events:
-                    logger.debug(
-                        "PRN %d subframe %d tow=%d", ch.prn, ev.subframe_id,
-                        ev.tow_label,
-                    )
-                    if self.db is not None:
-                        self.db.add("decoding", {
-                            "channel_id": i, "prn": ch.prn,
-                            "subframe_id": int(ev.subframe_id),
-                            "tow": int(ev.tow_label),
-                            "bits": np.asarray(ev.bits, dtype=np.uint8),
-                        })
+                    self._on_subframe_event(i, ch, ev)
             with self.timers.time("decode"):
                 self._post_block(out)
             with self.timers.time("measure"):
                 self._maybe_measure(out)
             self._block_index += 1
             self._epochs_done += out["active"].shape[0]
+
+    # ------------------------------------------------------------------
+    def _on_subframe_event(self, i: int, ch, ev) -> None:
+        """Record a decoded subframe and mirror the decode progress into
+        the device flags (reference logs SUBFRAME_SYNC/TOW_DECODED/
+        EPH_DECODED per ms, channel.py:205-228)."""
+        from sydr_tpu.channels.state import (
+            FLAG_EPH_DECODED,
+            FLAG_SUBFRAME_SYNC,
+            FLAG_TOW_DECODED,
+        )
+
+        logger.debug(
+            "PRN %d subframe %d tow=%d", ch.prn, ev.subframe_id,
+            ev.tow_label,
+        )
+        if self.db is not None:
+            self.db.add("decoding", {
+                "channel_id": i, "prn": ch.prn,
+                "subframe_id": int(ev.subframe_id),
+                "tow": int(ev.tow_label),
+                "bits": np.asarray(ev.bits, dtype=np.uint8),
+            })
+        mask = FLAG_SUBFRAME_SYNC | FLAG_TOW_DECODED
+        if ch.eph is not None:
+            mask |= FLAG_EPH_DECODED
+        self.session.or_flags(i, mask)
 
     # ------------------------------------------------------------------
     def _post_block(self, out) -> None:

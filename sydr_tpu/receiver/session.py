@@ -504,6 +504,19 @@ class TrackingSession:
         return run
 
     # ------------------------------------------------------------------
+    def or_flags(self, i: int, mask: int) -> None:
+        """OR decode-progress bits (SUBFRAME_SYNC/TOW_DECODED/EPH_DECODED)
+        into channel ``i``'s device flags. Decoding happens on the host, so
+        the receiver pushes these at block boundaries; the per-epoch
+        ``flags`` output/DB column then shows the reference's per-channel
+        progression (channel.py:205-228, enumerations.py:120-138)."""
+        import dataclasses as dc
+
+        st = self.state
+        self.state = dc.replace(
+            st, flags=st.flags.at[i].set(st.flags[i] | jnp.int32(mask)))
+
+    # ------------------------------------------------------------------
     def reset_channel(self, i: int) -> None:
         """Reset channel ``i`` to ACQUIRING (lock-loss reacquisition)."""
         import dataclasses as dc

@@ -115,6 +115,28 @@ def test_subframes_decoded(e2e_run):
     assert n_with_tow >= 4, f"only {n_with_tow} channels decoded TOW"
 
 
+def test_decode_flags_mirrored_to_device(e2e_run):
+    """Host decode progress must appear in the device flags (and thus the
+    per-epoch ``flags`` output / DB column), mirroring the reference's
+    per-ms SUBFRAME_SYNC/TOW_DECODED/EPH_DECODED logging
+    (channel.py:205-228, enumerations.py:120-138)."""
+    from sydr_tpu.channels.state import (
+        FLAG_EPH_DECODED,
+        FLAG_SUBFRAME_SYNC,
+        FLAG_TOW_DECODED,
+    )
+
+    _, rx, _ = e2e_run
+    flags = np.asarray(rx.session.state.flags)
+    for i, ch in enumerate(rx.channels):
+        if ch.has_tow:
+            assert int(flags[i]) & FLAG_TOW_DECODED, (i, int(flags[i]))
+            assert int(flags[i]) & FLAG_SUBFRAME_SYNC
+        if ch.eph is not None:
+            assert int(flags[i]) & FLAG_EPH_DECODED, (i, int(flags[i]))
+    assert sum(bool(int(f) & FLAG_TOW_DECODED) for f in flags) >= 4
+
+
 def test_fix_matches_truth(e2e_run):
     _, rx, _ = e2e_run
     assert len(rx.fixes) >= 1, "no PVT fix produced"

@@ -192,6 +192,56 @@ def test_report_generation(tmp_path):
     rx.db.close()
 
 
+def test_layered_logging(tmp_path):
+    """Reference-style layered logging (logger.py:22-30): DEBUG file +
+    INFO console; fileConfig ini applies verbatim."""
+    import logging
+
+    from sydr_tpu.utils.logconfig import configure_logging
+
+    logfile = configure_logging(out_folder=str(tmp_path), color=False)
+    log = logging.getLogger("sydr_tpu.test.layered")
+    log.debug("file-only detail")
+    log.info("console+file info")
+    for h in logging.getLogger().handlers:
+        h.flush()
+    text = open(logfile).read()
+    assert "file-only detail" in text          # DEBUG reaches the file
+    assert "console+file info" in text
+    assert "| sydr_tpu.test.layered" in text   # reference-format columns
+
+    ini = tmp_path / "logging.ini"
+    ini.write_text(f"""[loggers]
+keys=root
+
+[handlers]
+keys=fileHandler
+
+[formatters]
+keys=mformatter
+
+[logger_root]
+level=DEBUG
+handlers=fileHandler
+
+[handler_fileHandler]
+class=FileHandler
+level=DEBUG
+formatter=mformatter
+args=('{tmp_path}/custom.log', 'w')
+
+[formatter_mformatter]
+format=%(levelname)s :: %(message)s
+""")
+    configure_logging(config_path=str(ini))
+    logging.getLogger("x").debug("via fileconfig")
+    for h in logging.getLogger().handlers:
+        h.flush()
+    assert "DEBUG :: via fileconfig" in open(tmp_path / "custom.log").read()
+    # restore a sane default for the rest of the suite
+    configure_logging(color=False)
+
+
 def test_atmosphere_models():
     from sydr_tpu.nav import atmosphere
 

@@ -380,6 +380,13 @@ def run_ours(ini_path: str, runtime: str, use_pallas: bool,
 
 
 def read_fixes_ours(db_path: str):
+    """Our DB -> fixes + per-epoch {prn: (pseudorange, doppler)}.
+
+    The Doppler rides along so the comparison can propagate our
+    pseudoranges to the REFERENCE's epoch grid (the two receivers' 1 Hz
+    epochs hold a constant sub-second offset; differential range-rates
+    reach ~1 km/s across satellites, so comparing unpropagated PRs 0.5 s
+    apart would swamp the single-differences with geometry change)."""
     con = sqlite3.connect(db_path)
     cur = con.cursor()
     fixes = cur.execute(
@@ -389,7 +396,12 @@ def read_fixes_ours(db_path: str):
     for prn, sample, value in cur.execute(
             "SELECT prn, sample, value FROM measurement m JOIN position p "
             "ON m.tow = p.tow WHERE m.mtype = 'pseudorange'").fetchall():
-        prs.setdefault(sample, {})[prn] = value
+        prs.setdefault(sample, {})[prn] = [value, None]
+    for prn, sample, dop in cur.execute(
+            "SELECT prn, sample, value FROM measurement m JOIN position p "
+            "ON m.tow = p.tow WHERE m.mtype = 'doppler'").fetchall():
+        if sample in prs and prn in prs[sample]:
+            prs[sample][prn][1] = dop
     con.close()
     return ([(s, np.array([x, y, z]), c) for s, x, y, z, c in fixes], prs)
 
@@ -444,7 +456,18 @@ def ref_bitsync_phases(db_path: str):
     return out
 
 
-def _detect_slips(pairs, ref_prs, our_prs):
+LAMBDA_L1 = C_LIGHT / 1575.42e6
+
+
+def _our_pr_at(entry, dt_s: float) -> float:
+    """Propagate our (pseudorange, doppler) measurement by ``dt_s``."""
+    pr, dop = entry
+    if dop is None:
+        return float(pr)
+    return float(pr) - LAMBDA_L1 * float(dop) * dt_s
+
+
+def _detect_slips(pairs, ref_prs, our_prs, fs):
     """Per-PRN integer-millisecond offsets of the reference's pseudoranges
     vs ours (consensus-relative, so the two receivers' independent clock
     biases drop out). Returns ({prn: slip_ms}, per-prn residual medians)."""
@@ -453,10 +476,9 @@ def _detect_slips(pairs, ref_prs, our_prs):
         rp, op = ref_prs.get(s_ref), our_prs.get(s_our)
         if not rp or not op:
             continue
+        dt = (s_ref - s_our) / fs
         for p in set(rp) & set(op):
-            diffs.setdefault(p, []).append(op[p] - rp[p][0]
-                                           if isinstance(rp[p], tuple)
-                                           else op[p] - rp[p])
+            diffs.setdefault(p, []).append(_our_pr_at(op[p], dt) - rp[p])
     if not diffs:
         return {}, {}
     med = {p: float(np.median(v)) for p, v in diffs.items()}
@@ -485,14 +507,18 @@ def compare(ref, ours, fs: float, ephs=None):
     out = {"n_ref_fixes": len(ref_fixes), "n_our_fixes": len(our_fixes)}
     if not ref_fixes or not our_fixes:
         return out, []
+    # One-to-one pairing at 1 Hz: the two receivers' epoch grids hold a
+    # constant sub-second offset (the reference aligns to ceil(received
+    # time), ours to the first all-ready block), so accept up to half the
+    # fix period but never reuse a fix.
     pairs = []
     our_samples = np.array([f[0] for f in our_fixes], dtype=np.float64)
-    used = np.zeros(len(our_fixes), dtype=bool)   # one-to-one pairing
+    used = np.zeros(len(our_fixes), dtype=bool)
     for s_ref, p_ref, _ in ref_fixes:
         d = np.abs(our_samples - s_ref)
         d[used] = np.inf
         k = int(np.argmin(d))
-        if d[k] <= 0.25 * fs:   # within a quarter second (1 Hz fix rate)
+        if d[k] <= 0.5 * fs:
             used[k] = True
             pairs.append((s_ref, p_ref, our_fixes[k]))
     dps = [np.linalg.norm(p_ref - f[1]) for _, p_ref, f in pairs]
@@ -509,7 +535,7 @@ def compare(ref, ours, fs: float, ephs=None):
     # Integer-ms reference bit-sync slips, then single differences
     # (between satellites, removes each receiver's clock) both raw and
     # slip-corrected.
-    slips, slip_resid = _detect_slips(pairs, ref_prs, our_prs)
+    slips, slip_resid = _detect_slips(pairs, ref_prs, our_prs, fs)
     out["ref_bitsync_slips_ms"] = {
         str(p): s for p, s in slips.items() if s != 0}
     out["ref_quantisation_m"] = round(C_LIGHT / fs, 1)
@@ -523,12 +549,12 @@ def compare(ref, ours, fs: float, ephs=None):
             common = sorted(set(rp) & set(op))
             if len(common) < 2:
                 continue
-            rv = np.array([float(rp[p][0] if isinstance(rp[p], tuple)
-                                 else rp[p]) for p in common])
+            rv = np.array([float(rp[p]) for p in common])
             if correct:
                 rv = rv + np.array([slips.get(p, 0) for p in common]) \
                     * C_LIGHT * 1e-3
-            ov = np.array([op[p] for p in common])
+            dt = (s_ref - s_our) / fs
+            ov = np.array([_our_pr_at(op[p], dt) for p in common])
             d = ov - rv
             sd = d - d.mean()      # remove common (clock-like) offset
             errs.append(np.max(np.abs(sd)))
@@ -551,23 +577,27 @@ def compare(ref, ours, fs: float, ephs=None):
 
         eph_by_prn = {e.prn: e for e in ephs}
         t0_guess = 302400.0
-        deltas = []
+        deltas, truth_errs = [], []
         for s_ref, p_ref, (s_our, p_our, _) in pairs:
             rp = ref_prs.get(s_ref)
             if not rp or len(rp) < 4:
                 continue
             prns = sorted(rp)
             prs = np.array([
-                (rp[p][0] if isinstance(rp[p], tuple) else rp[p])
-                + slips.get(p, 0) * C_LIGHT * 1e-3 for p in prns])
+                float(rp[p]) + slips.get(p, 0) * C_LIGHT * 1e-3
+                for p in prns])
             sol = solve_pvt(prs, [eph_by_prn[p] for p in prns],
                             t0_guess + s_ref / fs,
                             approx_position=p_our)
             if sol is not None and sol.converged:
                 deltas.append(float(np.linalg.norm(sol.position - p_our)))
+                truth_errs.append(
+                    float(np.linalg.norm(sol.position - RX_TRUTH)))
         if deltas:
             out["pvt_delta_slipfix_mean_m"] = round(float(np.mean(deltas)), 3)
             out["pvt_delta_slipfix_max_m"] = round(float(np.max(deltas)), 3)
+            out["ref_slipfix_err_vs_truth_mean_m"] = round(
+                float(np.mean(truth_errs)), 3)
     return out, pairs
 
 
@@ -588,6 +618,9 @@ def main(argv=None) -> int:
                          "sydr_tpu side (0 disables)")
     ap.add_argument("--json-out", default=None,
                     help="also write the summary JSON to this path")
+    ap.add_argument("--replay", action="store_true",
+                    help="skip both receiver runs; re-compare the DBs "
+                         "already in --out (requires a prior --keep run)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for the sydr_tpu run")
     args = ap.parse_args(argv)
@@ -602,17 +635,27 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.out, exist_ok=True)
-    capture, sats = write_capture(args.out, args.fs, args.seconds,
-                                  args.seed)
-    prns = [e.prn for e in sats]
-    ini_ref = write_ini(args.out, capture, args.fs, args.seconds, prns,
-                        "ref")
-    ini_our = write_ini(args.out, capture, args.fs, args.seconds, prns,
-                        "tpu")
+    if args.replay:
+        from sydr_tpu.signal.scenario import DEMO_RX_TRUTH, demo_ephemerides
 
-    our_db, our_rtf = run_ours(ini_our, args.runtime, args.pallas,
-                               smoothing_s=args.smooth)
-    ref_db, ref_rtf = run_reference(ini_ref)
+        global RX_TRUTH
+        RX_TRUTH = np.asarray(DEMO_RX_TRUTH)
+        sats = demo_ephemerides(T0, WEEK)
+        our_db = os.path.join(args.out, "tpu_results", "tpu.db")
+        ref_db = os.path.join(args.out, "ref_results", "ref.db")
+        our_rtf = ref_rtf = float("nan")
+    else:
+        capture, sats = write_capture(args.out, args.fs, args.seconds,
+                                      args.seed)
+        prns = [e.prn for e in sats]
+        ini_ref = write_ini(args.out, capture, args.fs, args.seconds, prns,
+                            "ref")
+        ini_our = write_ini(args.out, capture, args.fs, args.seconds, prns,
+                            "tpu")
+
+        our_db, our_rtf = run_ours(ini_our, args.runtime, args.pallas,
+                                   smoothing_s=args.smooth)
+        ref_db, ref_rtf = run_reference(ini_ref)
 
     summary, pairs = compare(read_fixes_ref(ref_db),
                              read_fixes_ours(our_db), args.fs, ephs=sats)

@@ -17,6 +17,7 @@ readout, ``channel_l1ca_borre.py:302``): bin ``d`` wipes a carrier at
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -212,9 +213,32 @@ def pcps_shift_map(
     return jnp.transpose(allp[inv_order], (1, 0, 2))
 
 
-def shift_plan(bins: np.ndarray, sampling_frequency: float, n: int):
+# PCPS formulation choice, gated on MEASURED chip rates rather than op
+# counts (tools/acq_profile.py). History: BENCH_r01 measured the direct
+# map at 322M grid points/s and r02 the shift map at 240M, suggesting a
+# shift-map regression; a clean A/B on the 2026-08-20 backend at the
+# production shape (12 ch x 101 bins x 10k phases, 6 reps, twice) read
+# shift = 197-211M vs direct = 43M — the DIRECT map is what regressed
+# under the backend update (its chunked per-bin scan no longer overlaps),
+# and the shift-theorem map is the measured winner by ~4.6x. "auto"
+# (reuse heuristic below) selects the shift plan at every decomposable
+# grid with >= 3x phase reuse — exactly the measured preference — and
+# falls back to direct otherwise. Override per run with
+# SYDR_ACQ_MODE=shift|direct|auto.
+ACQ_MODE_DEFAULT = "auto"
+
+
+def shift_plan(bins: np.ndarray, sampling_frequency: float, n: int,
+               mode: str | None = None):
     """(phases, bin_shifts) for :func:`pcps_shift_map`, or None if the bins
-    do not decompose onto integer DFT-bin shifts."""
+    do not decompose onto integer DFT-bin shifts (or the measured-winner
+    mode selects the direct map, see ``ACQ_MODE_DEFAULT``). ``mode``
+    overrides the SYDR_ACQ_MODE env / default ("shift" forces the plan
+    when decomposable, "auto" applies the reuse heuristic)."""
+    if mode is None:
+        mode = os.environ.get("SYDR_ACQ_MODE", ACQ_MODE_DEFAULT)
+    if mode == "direct":
+        return None
     f_bin = sampling_frequency / n
     phases: list[float] = []
     shifts: list[tuple[int, int]] = []
@@ -232,7 +256,7 @@ def shift_plan(bins: np.ndarray, sampling_frequency: float, n: int):
             phases.append(rem)
             match = len(phases) - 1
         shifts.append((k, match))
-    if len(phases) > max(4, len(shifts) // 3):
+    if mode != "shift" and len(phases) > max(4, len(shifts) // 3):
         return None  # not enough reuse to be worth it
     return tuple(phases), tuple(shifts)
 

@@ -383,8 +383,15 @@ class Receiver:
                      or ch.n_codes > budget * cfg.reacq_no_bitsync_hard_factor)
             )
             if self._low_cn0_blocks[i] >= cfg.reacq_blocks or no_bitsync:
-                reason = ("no bit sync (false lock?)" if no_bitsync
-                          else f"C/N0 {cn0:.1f} dB-Hz")
+                if no_bitsync:
+                    kind = ("weak PLL" if pll_weak and ch.n_codes <= budget
+                            * cfg.reacq_no_bitsync_hard_factor
+                            else "hard backstop")
+                    reason = (f"no bit sync after {ch.n_codes} epochs "
+                              f"({kind}, pll_lock="
+                              f"{float(out['pll_lock'][-1, i]):.2f})")
+                else:
+                    reason = f"C/N0 {cn0:.1f} dB-Hz"
                 logger.warning(
                     "PRN %d lost lock (%s); reacquiring", ch.prn, reason)
                 self.session.reset_channel(i)

@@ -104,7 +104,7 @@ def test_shift_theorem_path_matches_direct():
     n = k_re.shape[-1]
     plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
 
-    sp = acq.shift_plan(bins, fs, n)
+    sp = acq.shift_plan(bins, fs, n, mode="auto")
     assert sp is not None and len(sp[0]) == 4  # 250 Hz step vs 1 kHz bins
 
     pad = (-len(bins)) % 4
@@ -126,7 +126,8 @@ def test_shift_theorem_path_matches_direct():
 
     # Bin sets without phase reuse (step not dividing the bin spacing)
     # fall back to the direct path.
-    assert acq.shift_plan(np.arange(-5000, 5001, 333.3), fs, n) is None
+    assert acq.shift_plan(np.arange(-5000, 5001, 333.3), fs, n,
+                          mode="auto") is None
 
 
 def test_bf16_matmul_plans_find_same_peak():

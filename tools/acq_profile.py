@@ -57,7 +57,7 @@ def main():
             np.asarray(fn())                    # value fetch = fence
         return grid_points / ((time.time() - t0) / REPS)
 
-    sp = acq.shift_plan(bins, FS, n)
+    sp = acq.shift_plan(bins, FS, n, mode="shift")
     if sp is not None:
         phases, bin_shifts = sp
 

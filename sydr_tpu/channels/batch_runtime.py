@@ -907,6 +907,10 @@ def _pass_b(cfg: TrackingConfig, bits3x, st: ChannelState, geo,
         else:
             words_p = _kernel_word_table(cfg, words)
             drift = jnp.zeros_like(omega)
+        if cfg.ablate_word_row:
+            # Fault injection (see TrackingConfig.ablate_word_row): shift
+            # the kernel's word-row offset to emulate a broken lowering.
+            drift = drift + float(cfg.ablate_word_row)
         scalars = jnp.stack(
             [omega, code_step, drift] + [jnp.zeros_like(omega)] * 5, axis=1
         )

@@ -184,6 +184,13 @@ class TrackingConfig:
     # 93.1 decimated RTF on chip) or "scan" (the original per-epoch
     # recurrence, kept as the oracle form; see batch_runtime._pass_a_*).
     pass_a: str = "closed"
+    # Fault injection (tests/parity gate only): offset the Pallas kernel's
+    # word-table row selection by this many rows, emulating the documented
+    # "misaligned word rows" backend-lowering failure mode (a ~1-chip code
+    # misalignment that collapses the prompt correlators). Lets the parity
+    # gate be tested end-to-end: production_parity(ablate=True) must fail
+    # and bench.py must exit non-zero. Never set in production.
+    ablate_word_row: int = 0
 
     @property
     def samples_per_ms(self) -> int:

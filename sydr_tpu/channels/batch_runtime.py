@@ -1017,7 +1017,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
          fll_acc, lock_state, ip_prev, qp_prev,
          flags, code_counter, ms_counter, edge_hist, bit_edge, accum_count,
          ip_sum, qp_sum, ip_sq, qp_sq, ratio_sum, cn0, pll_lock, fll_lock,
-         phi_virt, chip_virt) = carry
+         phi_virt, chip_virt, ipc_prev, qpc_prev) = carry
         c, active = inp["corr"], inp["active"]
 
         stv = types.SimpleNamespace(
@@ -1062,10 +1062,32 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
             new_code_off = jnp.clip(
                 new_code_off, -cfg.code_rail_hz, cfg.code_rail_hz)
 
-        # Bit-edge histogram sync (same semantics as the scanned runtime).
+        # Virtual-phase-compensated prompts for the bit/C/N0 path: the raw
+        # prompts live in the FROZEN-NCO frame, so the phase the virtual
+        # NCO has already applied (comp["phase"], realised into the real
+        # NCO only at the block boundary) rotates them out of the
+        # corrected frame — in short pull-in blocks a 20 ms bit spans
+        # several blocks and those per-boundary rotations corrupted the
+        # NWPR coherent sum (healthy decoding channels read -120 dB-Hz;
+        # round-4 soak forensics). Derotating by the same wrapped virtual
+        # phase the discriminators are compensated with puts every epoch
+        # of a bit in one frame; the squared sums and the Beaulieu ratio
+        # are rotation-invariant and use the raw values unchanged. The
+        # scanned runtime applies corrections physically each epoch, so
+        # this also brings the batch C/N0 closer to its oracle.
+        theta = TWO_PI * comp["phase"]
+        cth, sth = jnp.cos(theta), jnp.sin(theta)
+        ip_c = i_prompt * cth + q_prompt * sth
+        qp_c = q_prompt * cth - i_prompt * sth
+
+        # Bit-edge histogram sync (same semantics as the scanned runtime;
+        # the flip detector compares consecutive prompts in the SAME
+        # compensated frame — ``ipc_prev`` carries the previous epoch's
+        # derotated prompt, re-seeded from the raw state value at block
+        # start where the virtual phase is zero by construction).
         had_sync = (flags & FLAG_BIT_SYNC) != 0
         new_ms_counter = jnp.where(active, (ms_counter + 1) % 20, ms_counter)
-        sign_flip = jnp.sign(ip_prev) != jnp.sign(i_prompt)
+        sign_flip = jnp.sign(ipc_prev) != jnp.sign(ip_c)
         counting = (
             active & ~had_sync & (code_counter > cfg.min_convergence_ms)
             & (pll_lock > 0.5)
@@ -1091,8 +1113,8 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         ).astype(jnp.int32)
 
         acc = active & bit_sync
-        n_ip = jnp.where(accum_reset, 0.0, ip_sum) + jnp.where(acc, i_prompt, 0.0)
-        n_qp = jnp.where(accum_reset, 0.0, qp_sum) + jnp.where(acc, q_prompt, 0.0)
+        n_ip = jnp.where(accum_reset, 0.0, ip_sum) + jnp.where(acc, ip_c, 0.0)
+        n_qp = jnp.where(accum_reset, 0.0, qp_sum) + jnp.where(acc, qp_c, 0.0)
         n_ip2 = jnp.where(accum_reset, 0.0, ip_sq) + jnp.where(acc, i_prompt**2, 0.0)
         n_qp2 = jnp.where(accum_reset, 0.0, qp_sq) + jnp.where(acc, q_prompt**2, 0.0)
         n_ratio = jnp.where(accum_reset, 0.0, ratio_sum) + jnp.where(
@@ -1148,6 +1170,7 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
                       chip_virt + (upd(new_code_off, code_off)
                                    - frozen_code_off) * 1e-3,
                       chip_virt),
+            upd(ip_c, ipc_prev), upd(qp_c, qpc_prev),
         )
         return new_carry, out
 
@@ -1169,13 +1192,14 @@ def _pass_c(cfg: TrackingConfig, st: ChannelState, geo, corr):
         st.ip_sum, st.qp_sum, st.ip_sq_sum, st.qp_sq_sum, st.cn0_ratio_sum,
         st.cn0, st.pll_lock, st.fll_lock,
         jnp.zeros_like(st.carrier_freq), jnp.zeros_like(st.carrier_freq),
+        st.i_prompt_prev, st.q_prompt_prev,
     )
     carry, outputs = jax.lax.scan(step, init, inputs, unroll=True)
     (carrier_freq, code_off, dll_mem, pll_mem, fll_mem, fll_vel, fll_acc,
      lock_state, ip_prev, qp_prev, flags,
      code_counter, ms_counter, edge_hist, bit_edge, accum_count, ip_sum,
      qp_sum, ip_sq, qp_sq, ratio_sum, cn0, pll_lock, fll_lock, phi_virt_end,
-     chip_virt_end) = carry
+     chip_virt_end, _ipc_end, _qpc_end) = carry
 
     # End-of-block phase catch-up: realise the virtual-NCO phase the
     # within-block corrections assumed (higher carrier frequency advances

@@ -55,7 +55,8 @@ def save_checkpoint(receiver, path: str) -> str:
     arrays["hist_re"] = sess._hist_re
     arrays["hist_im"] = sess._hist_im
     arrays["mode_host"] = sess.mode_host
-    arrays["low_cn0"] = receiver._low_cn0_blocks
+    arrays["low_cn0"] = receiver._low_cn0_ms
+    arrays["dead_cn0"] = receiver._dead_cn0_ms
 
     chans = []
     for ch in receiver.channels:
@@ -140,7 +141,9 @@ def load_checkpoint(receiver, path: str) -> None:
         if key.startswith("acq_"):
             _, idx, name = key.split("_", 2)
             sess.acq_results.setdefault(int(idx), {})[name] = data[key]
-    receiver._low_cn0_blocks = np.array(data["low_cn0"])
+    receiver._low_cn0_ms = np.array(data["low_cn0"])
+    if "dead_cn0" in data.files:
+        receiver._dead_cn0_ms = np.array(data["dead_cn0"])
     receiver.clock_tow = manifest["clock_tow"]
     receiver.clock_sample = int(manifest["clock_sample"])
     receiver._next_meas_sample = manifest["next_meas_sample"]

@@ -70,10 +70,29 @@ class ReceiverConfig:
     iono_enabled: bool = False
     iono_alpha: tuple = (0.0, 0.0, 0.0, 0.0)
     iono_beta: tuple = (0.0, 0.0, 0.0, 0.0)
-    # Lock-loss reacquisition: channels whose C/N0 stays below the threshold
-    # for ``reacq_blocks`` consecutive blocks are reset to ACQUIRING.
+    # Lock-loss reacquisition (round-4 forensics, tools/soak_debug.py /
+    # tools/false_lock_probe.py): the round-3 block-count window
+    # (25 consecutive low blocks) was 125 ms at the 5 ms pull-in shape,
+    # and the C/N0 estimator reads 13-24 dB-Hz for several seconds while
+    # warming up — healthy channels were being reset at ~3-5 s and their
+    # re-rolls could park in a ~19 Hz Costas alias. All windows are now
+    # TIME-based and the low-C/N0 test only arms after
+    # ``reacq_warmup_codes`` tracked code periods; a separate fast path
+    # catches truly dead channels (C/N0 at the noise floor, e.g. a failed
+    # acquisition handoff) without waiting out the warm-up.
     reacq_cn0_threshold: float = 25.0
-    reacq_blocks: int = 25
+    reacq_low_cn0_s: float = 3.0        # consecutive low-C/N0 time
+    reacq_warmup_codes: int = 5000      # estimator warm-up [code periods]
+    reacq_dead_cn0: float = 10.0        # "no signal at all" threshold
+    reacq_dead_s: float = 1.0           # dead-channel window (arms at 1 s)
+    # Decode-progress timeout: a TRACKING channel that has pushed this
+    # many nav bits without ever assembling one valid subframe is
+    # decode-dead no matter how healthy its correlators look (cross-PRN
+    # capture, Costas half-bit-rate alias with noise-declared bit sync:
+    # PRN 6 in the round-4 soak tracked 40+ s at 29 dB-Hz and never
+    # decoded) and is reset. ~1250 bits = 25 s, > 3 subframe periods +
+    # sync time. 0 disables.
+    decode_timeout_bits: int = 1250
     # Channels still without bit sync after this many tracked code periods
     # AND with a weak PLL lock indicator are false-locked (e.g.
     # cross-correlation capture or a +-25 Hz Costas alias during pull-in)
@@ -91,8 +110,14 @@ class ReceiverConfig:
     # Doppler). Cuts code thermal noise by ~sqrt(T/1s) while the carrier
     # keeps the absolute scale; an improvement over the reference, which
     # forms code-only pseudoranges (receiver_gps_l1ca.py:239). Time
-    # constant in seconds; 0 disables.
-    smoothing_time_s: float = 0.0
+    # constant in seconds; 0 disables. Default ON (production): at the
+    # decimated 2.5 Msps cruise rate the raw code pseudoranges carry
+    # ~4-5 m RMS thermal noise (tools/soak_debug.py round-4 forensics:
+    # fix errors jumping 1-18 m with matching clock-bias jitter and no
+    # systematic drift); a 20 s Hatch constant cuts that by ~sqrt(20)
+    # while the 30 m raw-vs-predicted gate restarts the filter on any
+    # cycle slip or lock transient, so cold-start behavior is unchanged.
+    smoothing_time_s: float = 20.0
     # Persistence (None = no database).
     database_path: str | None = None
     log_tracking_decimation: int = 20
@@ -195,7 +220,8 @@ class Receiver:
         self.block_outputs: list[dict] = []
         self.keep_outputs = False
         self.last_outputs: dict | None = None
-        self._low_cn0_blocks = np.zeros(len(cfg.prns), dtype=int)
+        self._low_cn0_ms = np.zeros(len(cfg.prns), dtype=int)
+        self._dead_cn0_ms = np.zeros(len(cfg.prns), dtype=int)
         # Carrier-smoothing state: integrated tracked Doppler [cycles] per
         # channel plus the per-channel Hatch filter memory.
         self._phase_cycles = np.zeros(len(cfg.prns), dtype=np.float64)
@@ -359,18 +385,33 @@ class Receiver:
         # infrastructural recovery; lost channels just idle).
         from sydr_tpu.channels.state import FLAG_BIT_SYNC
 
+        n_epoch_ms = int(out["active"].shape[0])  # 1 ms epochs this block
+        # C/N0 is only trustworthy in the cruise shape: the NWPR windows in
+        # the 5 ms pull-in blocks read -120..20 dB-Hz on channels that are
+        # demonstrably healthy (decoding subframes), and arming the C/N0
+        # detectors on those readings produced a reset death-spiral in the
+        # round-4 soak (every reset demotes to pull-in, whose junk C/N0
+        # then kills the next healthy channel and blocks re-promotion).
+        # During pull-in the PLL-based no-bitsync detector and the decode
+        # timeout carry the failure detection instead.
+        cn0_trust = self.session.promoted or self.session.cruise_cfg is None
         for i, ch in enumerate(self.channels):
             if self.session.mode_host[i] != MODE_TRACKING:
                 continue
-            tracking_long = ch.n_codes > 1000
             cn0 = float(out["cn0"][-1, i])
             # cn0 == 0 means "not yet estimated"; anything else below the
             # threshold (including the degenerate negative estimates pure
-            # noise produces) counts as a low-C/N0 block.
-            if tracking_long and cn0 != 0.0 and cn0 < cfg.reacq_cn0_threshold:
-                self._low_cn0_blocks[i] += 1
-            else:
-                self._low_cn0_blocks[i] = 0
+            # noise produces) counts as low. The low test only arms after
+            # the estimator warm-up; the dead test (noise floor) arms at
+            # 1 s so a failed acquisition handoff resets promptly.
+            low = (cn0_trust and ch.n_codes > cfg.reacq_warmup_codes
+                   and cn0 != 0.0 and cn0 < cfg.reacq_cn0_threshold)
+            dead = (cn0_trust and ch.n_codes > 1000 and cn0 != 0.0
+                    and cn0 < cfg.reacq_dead_cn0)
+            self._low_cn0_ms[i] = self._low_cn0_ms[i] + n_epoch_ms \
+                if low else 0
+            self._dead_cn0_ms[i] = self._dead_cn0_ms[i] + n_epoch_ms \
+                if dead else 0
             # No bit sync: reset quickly when the PLL is NOT locked (false
             # lock / noise capture); a phase-locked channel is just waiting
             # for a data transition and only hits the hard backstop.
@@ -382,21 +423,36 @@ class Receiver:
                 and ((ch.n_codes > budget and pll_weak)
                      or ch.n_codes > budget * cfg.reacq_no_bitsync_hard_factor)
             )
-            if self._low_cn0_blocks[i] >= cfg.reacq_blocks or no_bitsync:
-                if no_bitsync:
-                    kind = ("weak PLL" if pll_weak and ch.n_codes <= budget
-                            * cfg.reacq_no_bitsync_hard_factor
-                            else "hard backstop")
-                    reason = (f"no bit sync after {ch.n_codes} epochs "
-                              f"({kind}, pll_lock="
-                              f"{float(out['pll_lock'][-1, i]):.2f})")
-                else:
-                    reason = f"C/N0 {cn0:.1f} dB-Hz"
+            # Decode-dead: bit sync declared (possibly on noise flips) and
+            # bits flowing, but not one valid subframe — cross-PRN capture
+            # or a Costas half-bit-rate alias; no power/PLL test sees it.
+            no_subframe = (
+                cfg.decode_timeout_bits > 0
+                and ch.bits_pushed > cfg.decode_timeout_bits
+                and not ch.subframes_seen
+            )
+            reason = None
+            if self._dead_cn0_ms[i] >= cfg.reacq_dead_s * 1000.0:
+                reason = f"C/N0 {cn0:.1f} dB-Hz (no signal)"
+            elif self._low_cn0_ms[i] >= cfg.reacq_low_cn0_s * 1000.0:
+                reason = f"C/N0 {cn0:.1f} dB-Hz"
+            elif no_bitsync:
+                kind = ("weak PLL" if pll_weak and ch.n_codes <= budget
+                        * cfg.reacq_no_bitsync_hard_factor
+                        else "hard backstop")
+                reason = (f"no bit sync after {ch.n_codes} epochs "
+                          f"({kind}, pll_lock="
+                          f"{float(out['pll_lock'][-1, i]):.2f})")
+            elif no_subframe:
+                reason = (f"no subframe after {ch.bits_pushed} bits "
+                          f"(decode-dead, C/N0 {cn0:.1f} dB-Hz)")
+            if reason is not None:
                 logger.warning(
                     "PRN %d lost lock (%s); reacquiring", ch.prn, reason)
                 self.session.reset_channel(i)
                 self.channels[i] = _ChannelBookkeeping(ch.prn)
-                self._low_cn0_blocks[i] = 0
+                self._low_cn0_ms[i] = 0
+                self._dead_cn0_ms[i] = 0
                 self._smooth.pop(i, None)
 
     # ------------------------------------------------------------------

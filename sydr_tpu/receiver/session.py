@@ -62,8 +62,16 @@ class CruisePolicy:
 
     # consecutive qualifying process_block calls before promoting
     stable_blocks: int = 2
-    # every TRACKING channel must estimate at least this C/N0 ...
-    min_cn0_dbhz: float = 30.0
+    # every TRACKING channel must hold at least this PLL lock indicator.
+    # NOT C/N0: the NWPR estimate is unreliable in the pull-in shape —
+    # a 20 ms bit spans four 5 ms blocks, and the frozen-NCO phase step
+    # at each block boundary corrupts the coherent sum (channels decoding
+    # subframes read -120..20 dB-Hz; round-4 soak forensics). pll_lock is
+    # computed from raw epoch pairs and is partially degraded by the same
+    # boundary steps, so the bar is deliberately low — it only needs to
+    # exclude clearly-unlocked channels; bit sync (dominance-gated
+    # histogram) is the real convergence signal.
+    min_pll_lock: float = 0.3
     # ... and have declared bit sync (20 ms epoch grid pinned)
     require_bit_sync: bool = True
 
@@ -115,6 +123,7 @@ class TrackingSession:
         and superblock may differ.
         """
         self.cfg = cfg
+        self._pullin_cfg = cfg
         self.prns = list(prns)
         self.acq_cfg = acq_cfg or AcquisitionConfig()
         self.cruise_cfg = cruise
@@ -320,14 +329,14 @@ class TrackingSession:
                     and i not in self.acq_results):
                 return
         flags = np.asarray(out["flags"][-1])
-        cn0 = np.asarray(out["cn0"][-1])
+        pll = np.asarray(out["pll_lock"][-1])
         pol = self.cruise_policy
         ok = True
         for i in np.nonzero(tracking)[0]:
             if pol.require_bit_sync and not (int(flags[i]) & FLAG_BIT_SYNC):
                 ok = False
                 break
-            if not (cn0[i] >= pol.min_cn0_dbhz):
+            if not (pll[i] >= pol.min_pll_lock):
                 ok = False
                 break
         self._stable_blocks = self._stable_blocks + 1 if ok else 0
@@ -518,11 +527,23 @@ class TrackingSession:
 
     # ------------------------------------------------------------------
     def reset_channel(self, i: int) -> None:
-        """Reset channel ``i`` to ACQUIRING (lock-loss reacquisition)."""
+        """Reset channel ``i`` to ACQUIRING (lock-loss reacquisition).
+
+        If the session has been promoted to the cruise shape, it DEMOTES
+        back to the pull-in configuration first: a freshly-acquired
+        channel carries up to half the acquisition Doppler step
+        (+-50 Hz) of carrier error, far outside the cruise Costas loop's
+        pull range — handing it straight to cruise is how the round-4
+        soak's PRN 6 parked in a ~19 Hz half-bit-rate alias
+        (tools/false_lock_probe.py). The pull-in (FLL-assisted) shape
+        re-converges it, then :meth:`_maybe_promote` restores cruise once
+        every channel is stable again.
+        """
         import dataclasses as dc
 
         from sydr_tpu.channels.state import MODE_ACQUIRING, init_state
 
+        self._demote()
         fresh = init_state(self.n_channels)
 
         def reset_leaf(cur, init):
@@ -535,6 +556,24 @@ class TrackingSession:
         self.mode_host[i] = MODE_ACQUIRING
         self.acq_results.pop(i, None)
         self._acq_retry_at.pop(i, None)
+
+    def _demote(self) -> None:
+        """Swap back from cruise to the pull-in configuration."""
+        if not self.promoted:
+            return
+        old = (f"{self.cfg.profile}/{self.cfg.block_ms}ms"
+               f"/sb{self.cfg.superblock}")
+        z = jnp.zeros_like(self.state.dll_memory)
+        self.state = self._place_state(dataclasses.replace(
+            self.state, dll_memory=z, pll_memory=z, fll_memory=z,
+            fll_vel=z, fll_acc=z))
+        self.cfg = self._pullin_cfg
+        self._packed_run = None        # re-jit lazily with the pull-in cfg
+        self.promoted = False
+        self._stable_blocks = 0
+        logger.info(
+            "demoted %s -> %s/%dms/sb%d (channel reacquisition)", old,
+            self.cfg.profile, self.cfg.block_ms, self.cfg.superblock)
 
     # ------------------------------------------------------------------
     def _acquire_serial(self, pending) -> None:

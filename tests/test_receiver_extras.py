@@ -138,7 +138,8 @@ def test_reacquisition_on_lock_loss():
     """Signal vanishes -> C/N0 collapses -> channel resets to ACQUIRING."""
     from sydr_tpu.channels.state import MODE_ACQUIRING
 
-    cfg = _cfg(reacq_cn0_threshold=30.0, reacq_blocks=5)
+    cfg = _cfg(reacq_cn0_threshold=30.0, reacq_low_cn0_s=0.5,
+               reacq_dead_s=0.5, reacq_warmup_codes=1000)
     rx = Receiver(cfg)
     gen = _gen()
     for _ in range(100):  # 2 s with signal
@@ -454,3 +455,30 @@ def test_device_acquisition_ring_mirrors_host_history():
     # per-block over the whole window, so bound with 2x the history LSB.
     lsb = np.max(np.abs(hist)) / 120.0
     np.testing.assert_allclose(ring, hist, atol=2.0 * lsb)
+
+
+def test_reset_channel_demotes_to_pullin():
+    """A reacquisition while promoted must drop the session back to the
+    pull-in shape: a fresh acquisition carries up to +-(doppler_step/2)
+    of carrier error, outside the cruise Costas loop's pull range (the
+    round-4 soak's PRN 6 parked in a ~19 Hz half-bit-rate alias when
+    handed straight to cruise; tools/false_lock_probe.py)."""
+    import dataclasses
+
+    pull_in = TrackingConfig(sampling_frequency=FS, block_ms=5, tail_ms=4,
+                             window_size=4224, runtime="batch",
+                             profile="kaplan")
+    cruise = dataclasses.replace(pull_in, profile="borre", block_ms=20,
+                                 superblock=5)
+    cfg = ReceiverConfig(prns=(5, 12), tracking=pull_in,
+                         cruise_tracking=cruise, tropo_enabled=False)
+    rx = Receiver(cfg)
+    sess = rx.session
+    sess._promote()
+    assert sess.promoted and sess.cfg.profile == "borre"
+
+    sess.reset_channel(0)
+    assert not sess.promoted
+    assert sess.cfg.profile == "kaplan" and sess.cfg.block_ms == 5
+    assert sess._stable_blocks == 0
+    assert sess.mode_host[0] == 1  # MODE_ACQUIRING

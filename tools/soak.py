@@ -102,8 +102,13 @@ def run_soak(seconds: int = 300, fs: float = 10e6, decimate: int = 4,
     fixes = receiver.fixes
     errs = np.array([
         np.linalg.norm(f.solution.position - rx_truth) for f in fixes])
-    # Convergence: skip the first few fixes (clock steering settles).
-    conv = errs[3:] if len(errs) > 6 else errs
+    # Steady state: skip the convergence window (clock steering + the
+    # Hatch smoothing filter settling, ~smoothing_time_s of 1 Hz fixes);
+    # its own worst case is reported separately as conv_err_max_m.
+    n_skip = max(3, int(round(receiver.cfg.smoothing_time_s))) \
+        if len(errs) > 6 else 0
+    n_skip = min(n_skip, max(len(errs) - 3, 0))
+    conv = errs[n_skip:]
     # Prompt power: late-window mean vs the early steady-state window.
     ps = np.array([v for _, v in prompt_series])
     n_q = max(4, len(ps) // 10)
@@ -120,6 +125,8 @@ def run_soak(seconds: int = 300, fs: float = 10e6, decimate: int = 4,
         "n_fixes": int(len(fixes)),
         "fix_err_mean_m": round(float(conv.mean()), 3) if len(conv) else None,
         "fix_err_max_m": round(float(conv.max()), 3) if len(conv) else None,
+        "conv_err_max_m": round(float(errs[:n_skip].max()), 3)
+        if n_skip else None,
         "prompt_ratio_late_vs_early": round(late / early, 4) if early else None,
         "cn0_steady_db": round(cn_mean, 2),
         "cn0_late_minus_steady_db": round(cn_late - cn_mean, 2),

@@ -85,6 +85,24 @@ def main(argv=None) -> int:
         iq = scn.generate_ms(n)
         receiver.process_ms(iq)
         done += n
+        if done % 10000 == 0:
+            out = receiver.last_outputs
+            rows = []
+            for i, ch in enumerate(receiver.channels):
+                cn0 = (float(np.asarray(out["cn0"])[-1, i])
+                       if out is not None else None)
+                pll = (float(np.asarray(out["pll_lock"])[-1, i])
+                       if out is not None else None)
+                rows.append({
+                    "prn": ch.prn,
+                    "cn0": round(cn0, 1) if cn0 else cn0,
+                    "pll": round(pll, 2) if pll is not None else None,
+                    "n_codes": ch.n_codes,
+                    "bits": ch.bits_pushed,
+                    "tow": ch.tow_ref is not None,
+                    "sf": sorted(ch.subframes_seen),
+                })
+            print(json.dumps({"ms": done, "channels": rows}), flush=True)
         for f in receiver.fixes[n_seen:]:
             err = f.solution.position - rx_truth
             print(json.dumps({
@@ -94,6 +112,8 @@ def main(argv=None) -> int:
                 "bias_m": round(float(f.solution.clock_bias_m), 1),
                 "nsat": int(f.n_satellites),
                 "prns": list(map(int, f.prns)),
+                "resid_rms_m": round(float(np.sqrt(np.mean(
+                    np.square(f.solution.residuals)))), 3),
             }), flush=True)
         n_seen = len(receiver.fixes)
 

@@ -170,12 +170,13 @@ def pcps_shift_map(
     :func:`pcps_map`).
     """
     n_ch, n = code_k_re.shape
+    n_bins = len(bin_shifts)
     blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
     blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
     t = (jnp.arange(coherent * n, dtype=jnp.float32)
          / sampling_frequency).reshape(coherent, n)
 
-    spectra = []
+    spectra_re, spectra_im = [], []
     for f_p in phases:
         ph = -2.0 * jnp.pi * (intermediate_frequency + f_p) * t  # [coh, n]
         cos, sin = jnp.cos(ph), jnp.sin(ph)
@@ -183,34 +184,43 @@ def pcps_shift_map(
         mim = blocks_re * sin[None, None] + blocks_im * cos[None, None]
         fre, fim = mmfft.dft(mre, mim, fwd_plan)
         # coherent sum commutes with the (linear) inverse DFT
-        spectra.append((jnp.sum(fre, axis=2), jnp.sum(fim, axis=2)))
+        spectra_re.append(jnp.sum(fre, axis=2))            # [ch, nc, n]
+        spectra_im.append(jnp.sum(fim, axis=2))
 
-    # Bins grouped by phase: the rolled code spectra of a group stack into
-    # one batched spectrum product + ONE inverse DFT (static rolls are
-    # cheap slice/concats), so program size and compile time stay flat in
-    # the number of Doppler bins instead of emitting one idft per bin.
-    by_phase: dict[int, list[tuple[int, int]]] = {}
-    for i, (k, p) in enumerate(bin_shifts):
-        by_phase.setdefault(p, []).append((k, i))
-    parts, order = [], []
-    group = 16  # bound peak memory: [group, n_ch, non_coherent, n] floats
-    for p, items in by_phase.items():
-        sre, sim = spectra[p]                              # [ch, nc, n]
-        for j in range(0, len(items), group):
-            chunk = items[j:j + group]
-            kre = jnp.stack(
-                [jnp.roll(code_k_re, k, axis=-1) for k, _ in chunk])
-            kim = jnp.stack(
-                [jnp.roll(code_k_im, k, axis=-1) for k, _ in chunk])
-            pre = sre[None] * kre[:, :, None] - sim[None] * kim[:, :, None]
-            pim = sre[None] * kim[:, :, None] + sim[None] * kre[:, :, None]
-            cre, cim = mmfft.idft(pre, pim, inv_plan)
-            parts.append(
-                jnp.sum(jnp.sqrt(cre**2 + cim**2), axis=2))  # [nk, ch, n]
-            order += [i for _, i in chunk]
-    allp = jnp.concatenate(parts, axis=0)                  # [n_bins, ch, n]
-    inv_order = jnp.asarray(np.argsort(np.asarray(order)), jnp.int32)
-    return jnp.transpose(allp[inv_order], (1, 0, 2))
+    # All bins in one batch, one inverse DFT per non-coherent block
+    # (round-4 restructure; the former 16-bin chunk loop emitted 7 small
+    # idfts x 10 blocks whose intermediates made the map HBM-bound at
+    # ~197M grid points/s on chip):
+    #   * every bin's rolled code spectrum comes from ONE static gather
+    #     (roll(K, k)[i] = K[(i-k) mod n]), built once and reused by all
+    #     non-coherent blocks;
+    #   * each bin's phase spectrum is picked with the same gather trick,
+    #     so the per-block spectrum product is a single [n_bins, ch, n]
+    #     elementwise op feeding one batched idft;
+    #   * magnitudes accumulate in place, so peak working set stays at a
+    #     few [n_bins, ch, n] f32 buffers regardless of non_coherent.
+    # Static rolls / picks only — a gather formulation of these two
+    # builds measured 172M pts/s vs 197M for the chunked map (and the
+    # one-hot alternative worse still): TPU gathers over the 10k sample
+    # axis lower poorly, while jnp.roll with a static shift is two slices
+    # and a concat, fused for free.
+    kre_all = jnp.stack(
+        [jnp.roll(code_k_re, k, axis=-1) for k, _ in bin_shifts])
+    kim_all = jnp.stack(
+        [jnp.roll(code_k_im, k, axis=-1) for k, _ in bin_shifts])
+
+    acc = jnp.zeros((n_bins, n_ch, inv_plan.n2, inv_plan.n1), jnp.float32)
+    for b in range(non_coherent):
+        sre = jnp.stack([spectra_re[p][:, b, :] for _, p in bin_shifts])
+        sim = jnp.stack([spectra_im[p][:, b, :] for _, p in bin_shifts])
+        pre = sre * kre_all - sim * kim_all
+        pim = sre * kim_all + sim * kre_all
+        # Magnitudes are layout-invariant: accumulate in the four-step's
+        # natural [k2, k1] layout and unpermute ONCE after the loop (saves
+        # a full-map transpose relayout per non-coherent block).
+        cre, cim = mmfft.idft(pre, pim, inv_plan, permuted_out=True)
+        acc = acc + jnp.sqrt(cre**2 + cim**2)
+    return jnp.transpose(mmfft.unpermute(acc, inv_plan), (1, 0, 2))
 
 
 # PCPS formulation choice, gated on MEASURED chip rates rather than op

@@ -107,13 +107,21 @@ def make_plan(
     )
 
 
-def dft(xr: jax.Array, xi: jax.Array, plan: DFTPlan):
+def dft(xr: jax.Array, xi: jax.Array, plan: DFTPlan, *,
+        permuted_out: bool = False):
     """Batched DFT of (re, im) pairs over the last axis.
 
     Args:
         xr, xi: ``[..., n]`` float32.
+        permuted_out: return the four-step result in its natural
+            ``[..., k2, k1]`` matrix layout (canonical index is
+            ``N2*k1 + k2``) instead of flattening — skips one full-size
+            transpose relayout. Use when the caller reduces the output
+            elementwise over many transforms (e.g. the PCPS non-coherent
+            magnitude accumulation) and can run :func:`unpermute` once on
+            the reduced result.
     Returns:
-        (Xr, Xi) of shape ``[..., n]``.
+        (Xr, Xi) of shape ``[..., n]`` (or ``[..., n2, n1]`` permuted).
     """
     batch = xr.shape[:-1]
     n1, n2 = plan.n1, plan.n2
@@ -138,17 +146,27 @@ def dft(xr: jax.Array, xi: jax.Array, plan: DFTPlan):
     di = mm("...kn,nj->...kj", cr, plan.w1_im) + mm(
         "...kn,nj->...kj", ci, plan.w1_re)
 
+    if permuted_out:
+        return dr, di
     # X[N2*k1 + k2]: transpose [k2, k1] -> [k1, k2], flatten.
     xr_out = jnp.swapaxes(dr, -1, -2).reshape(batch + (plan.n,))
     xi_out = jnp.swapaxes(di, -1, -2).reshape(batch + (plan.n,))
     return xr_out, xi_out
 
 
-def idft(xr: jax.Array, xi: jax.Array, plan: DFTPlan):
+def unpermute(x: jax.Array, plan: DFTPlan) -> jax.Array:
+    """Flatten a ``permuted_out`` result ``[..., k2, k1]`` to canonical
+    ``[..., n]`` order (one transpose; see :func:`dft`)."""
+    batch = x.shape[:-2]
+    return jnp.swapaxes(x, -1, -2).reshape(batch + (plan.n,))
+
+
+def idft(xr: jax.Array, xi: jax.Array, plan: DFTPlan, *,
+         permuted_out: bool = False):
     """Inverse DFT; ``plan`` must have been built with ``inverse=True``."""
     # The four-step structure is sign-symmetric; reuse dft with the
     # conjugated, scaled plan.
-    return dft(xr, xi, plan)
+    return dft(xr, xi, plan, permuted_out=permuted_out)
 
 
 def circular_correlate(xr, xi, kr, ki, fwd: DFTPlan, inv: DFTPlan):

@@ -71,6 +71,19 @@ def main():
         out["shift_pts_per_s"] = round(timed(run_shift), 1)
         out["n_phases"] = len(phases)
 
+        plans16 = (mmfft.make_plan(n, matmul_dtype=jnp.bfloat16),
+                   mmfft.make_plan(n, inverse=True,
+                                   matmul_dtype=jnp.bfloat16))
+
+        def run_shift16():
+            m = acq.pcps_shift_map(
+                iq_re, iq_im, k_re, k_im, plans16[0], plans16[1],
+                sampling_frequency=FS, coherent=coher, non_coherent=noncoh,
+                phases=phases, bin_shifts=bin_shifts)
+            return m[:, ::17, ::997]
+
+        out["shift_bf16_pts_per_s"] = round(timed(run_shift16), 1)
+
     pad = (-len(bins)) % 4
     bins_p = jnp.asarray(np.concatenate([bins, np.repeat(bins[-1:], pad)]))
 

@@ -86,12 +86,16 @@ def generate_report(
             sections.append(_fig_to_html(fig))
         rows = "".join(
             f"<tr><td>G{r['prn']:02d}</td><td>{r['doppler']:+.0f}</td>"
-            f"<td>{r['code_index']}</td><td>{r['metric']:.2f}</td></tr>"
+            f"<td>{r['code_index']}</td>"
+            + (f"<td>{r['code_chips']:.2f}</td>"
+               if r.get("code_chips") is not None else "<td>-</td>")
+            + f"<td>{r['metric']:.2f}</td></tr>"
             for r in acq
         )
         sections.append(
             "<table border=1 cellpadding=4><tr><th>PRN</th>"
-            "<th>Doppler [Hz]</th><th>Code index</th><th>Metric</th></tr>"
+            "<th>Doppler [Hz]</th><th>Code index</th>"
+            "<th>Code phase [chips]</th><th>Metric</th></tr>"
             + rows + "</table>"
         )
 

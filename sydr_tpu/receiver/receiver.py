@@ -345,10 +345,14 @@ class Receiver:
                     "PRN %d acquired: doppler=%+.0f Hz metric=%.2f",
                     res["prn"], res["doppler"], res["metric"])
                 if self.db is not None:
+                    spc = round(self.fs * 1023.0 / 1.023e6)
                     self.db.add("acquisition", {
                         "channel_id": i, "prn": res["prn"],
                         "doppler": res["doppler"],
                         "code_index": res["code_index"],
+                        # normalised code phase [chips] (reference
+                        # old/analysis.py:59 coarseCodeNorm column)
+                        "code_chips": res["code_index"] * 1023.0 / spc,
                         "metric": res["metric"],
                         "corr_map": res.get("corr_map"),
                         "corr_dopplers": res.get("corr_dopplers"),

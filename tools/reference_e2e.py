@@ -489,7 +489,7 @@ def _detect_slips(pairs, ref_prs, our_prs, fs):
     return slips, resid
 
 
-def compare(ref, ours, fs: float, ephs=None):
+def compare(ref, ours, fs: float, ephs=None, steady_skip=20):
     """Pair epochs by sample index; position deltas + single-diff PRs.
 
     Besides the raw comparison, detects the reference's integer-ms
@@ -524,12 +524,17 @@ def compare(ref, ours, fs: float, ephs=None):
     dps = [np.linalg.norm(p_ref - f[1]) for _, p_ref, f in pairs]
     err_ref = [np.linalg.norm(p - RX_TRUTH) for _, p, _ in ref_fixes]
     err_our = [np.linalg.norm(f[1] - RX_TRUTH) for f in our_fixes]
+    # Steady state excludes the Hatch-smoothing convergence window
+    # (~smoothing time of 1 Hz fixes; same methodology as tools/soak.py).
+    n_skip = min(steady_skip, max(len(err_our) - 3, 0))
     out.update({
         "n_paired": len(pairs),
         "pvt_delta_mean_m": round(float(np.mean(dps)), 3) if dps else None,
         "pvt_delta_max_m": round(float(np.max(dps)), 3) if dps else None,
         "ref_err_vs_truth_mean_m": round(float(np.mean(err_ref)), 3),
         "ours_err_vs_truth_mean_m": round(float(np.mean(err_our)), 3),
+        "ours_err_vs_truth_steady_m": round(
+            float(np.mean(err_our[n_skip:])), 3),
     })
 
     # Integer-ms reference bit-sync slips, then single differences
@@ -658,7 +663,8 @@ def main(argv=None) -> int:
         ref_db, ref_rtf = run_reference(ini_ref)
 
     summary, pairs = compare(read_fixes_ref(ref_db),
-                             read_fixes_ours(our_db), args.fs, ephs=sats)
+                             read_fixes_ours(our_db), args.fs, ephs=sats,
+                             steady_skip=max(3, int(round(args.smooth))))
 
     # Independent evidence for the detected slips: the reference DB's own
     # prompt stream vs its decode events (first-flip bit-sync mis-anchor).
@@ -688,8 +694,11 @@ def main(argv=None) -> int:
         #    within ~2.5x its one-sample quantisation;
         #  * same-solver PVT delta sits within a DOP-scaled multiple of
         #    that quantisation.
+        # Our accuracy is gated on the STEADY-STATE mean (the Hatch
+        # filter's ~smoothing_s convergence window is reported separately
+        # in ours_err_vs_truth_mean_m; tools/soak.py splits the same way).
         "parity_ok": bool(
-            summary.get("ours_err_vs_truth_mean_m", 1e9) < 2.0
+            summary.get("ours_err_vs_truth_steady_m", 1e9) < 2.0
             and slips_explained
             and summary.get("pr_singlediff_slipfix_max_m", 1e9) < 2.5 * quant
             and summary.get("pvt_delta_slipfix_max_m", 1e9) < 8.0 * quant),

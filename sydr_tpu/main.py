@@ -113,6 +113,10 @@ def main(argv=None) -> int:
                         help="sample-quantised correlator spacings")
     parser.add_argument("--no-dashboard", action="store_true")
     parser.add_argument("--no-report", action="store_true")
+    parser.add_argument("--rinex-obs", metavar="PATH", default=None,
+                        help="export the run's pseudorange/Doppler "
+                             "measurements as a RINEX 3.04 observation "
+                             "file (io/rinex_obs.py)")
     parser.add_argument("--checkpoint-every", type=int, default=0,
                         help="save resumable state every N ms (0 = off)")
     parser.add_argument("--cpu", action="store_true",
@@ -237,6 +241,11 @@ def main(argv=None) -> int:
     if receiver.db is not None:
         receiver.timers.store(receiver.db)
         receiver.db.commit()
+        if args.rinex_obs:
+            from sydr_tpu.io.rinex_obs import export_from_database
+
+            n = export_from_database(receiver.db, args.rinex_obs)
+            print(f"rinex obs: {args.rinex_obs} ({n} epochs)")
         if not args.no_report:
             from sydr_tpu.io.report import generate_report
 

@@ -482,3 +482,31 @@ def test_reset_channel_demotes_to_pullin():
     assert sess.cfg.profile == "kaplan" and sess.cfg.block_ms == 5
     assert sess._stable_blocks == 0
     assert sess.mode_host[0] == 1  # MODE_ACQUIRING
+
+
+def test_rinex_obs_export_cli_path(tmp_path):
+    """DB measurement rows -> RINEX 3.04 obs file -> read_obs round trip
+    (the main.py --rinex-obs export path)."""
+    from sydr_tpu.io.database import ResultDatabase
+    from sydr_tpu.io.rinex_obs import export_from_database, read_obs
+
+    db = ResultDatabase(str(tmp_path / "m.db"))
+    for tow, prn, pr, dop in ((100.0, 5, 21000123.4, 1200.5),
+                              (100.0, 12, 22000456.7, -2600.25),
+                              (101.0, 5, 21000321.9, 1201.0)):
+        db.add("measurement", {"tow": tow, "channel_id": 0, "prn": prn,
+                               "mtype": "pseudorange", "value": pr,
+                               "raw_value": pr, "residual": 0.0})
+        db.add("measurement", {"tow": tow, "channel_id": 0, "prn": prn,
+                               "mtype": "doppler", "value": dop,
+                               "raw_value": dop, "residual": 0.0})
+    db.commit()
+    path = str(tmp_path / "run.obs")
+    n = export_from_database(db, path)
+    assert n == 2
+    back = read_obs(path)
+    assert len(back) == 2
+    first = back[0]
+    assert abs(first["obs"][5]["C1C"] - 21000123.4) < 1e-3
+    assert abs(first["obs"][12]["D1C"] + 2600.25) < 1e-3
+    db.close()

@@ -150,6 +150,7 @@ def main(argv=None) -> int:
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--superblock", type=int, default=25)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -157,7 +158,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     res = run_soak(seconds=args.seconds, fs=args.fs,
                    decimate=args.decimate, use_pallas=args.pallas,
-                   superblock=args.superblock)
+                   superblock=args.superblock, seed=args.seed)
     # Bounds: mean tests the noise floor, max the outliers. A hard 2 m
     # max over ~300 steady-state fixes was statistically overtight — the
     # round-4 runs read mean 0.66 m with a single 2.13 m excursion (CPU

@@ -51,7 +51,19 @@ def spacings_for(cfg) -> tuple:
         from sydr_tpu.constants import GPS_L1CA_CODE_FREQ
 
         step0 = GPS_L1CA_CODE_FREQ / cfg.sampling_frequency
-        sp = tuple(round(s / step0) * step0 for s in sp)
+        # A nonzero requested spacing must never quantise to the prompt
+        # tap: at 2.44 samples/chip (10 Msps decimate-4) the Kaplan
+        # narrow spacing 0.2 chips is 0.49 samples and plain rounding
+        # made E == P == L — the NNEML discriminator then reads exactly 0
+        # and the DLL freewheels on the stale code_freq_offset
+        # (~0.25 chips/s of drift in the round-4 seed-7 soak, collapsing
+        # every channel that dwelt in NARROW_TRACK). Clamp to >= 1 sample
+        # (the finest tap the sample rate can express; wide and narrow
+        # may then coincide, which is benign — the pairs are identical).
+        sp = tuple(
+            0.0 if s == 0.0 else
+            max(1, abs(round(s / step0))) * (1 if s > 0 else -1) * step0
+            for s in sp)
     return sp
 
 

@@ -93,6 +93,17 @@ class ReceiverConfig:
     # decoded) and is reset. ~1250 bits = 25 s, > 3 subframe periods +
     # sync time. 0 disables.
     decode_timeout_bits: int = 1250
+    # Solution integrity (RAIM-lite): with > 4 satellites, measurements
+    # whose post-fit residual exceeds the gate are excluded worst-first
+    # and the epoch re-solved; if no clean subset remains the epoch
+    # produces no fix (and the clock is NOT steered). A healthy
+    # overdetermined solve leaves cm-level residuals, so the gate only
+    # fires on real faults. An excluded measurement whose residual
+    # implies a timing slip (>= fix_fault_reset_m, i.e. km-scale — an
+    # integer-ms code-boundary error, not thermal noise) also resets its
+    # channel to reacquire. 0 disables the gate.
+    fix_residual_gate_m: float = 75.0
+    fix_fault_reset_m: float = 10_000.0
     # Channels still without bit sync after this many tracked code periods
     # AND with a weak PLL lock indicator are false-locked (e.g.
     # cross-correlation capture or a +-25 Hz Costas alias during pull-in)
@@ -619,6 +630,51 @@ class Receiver:
         period = self.cfg.measurement_period_ms * self.cfg.tracking.samples_per_ms
         self._next_meas_sample = sample + period
         if sol is None or not sol.converged:
+            return
+
+        # --- Solution integrity (RAIM-lite) ---------------------------
+        # A single faulty pseudorange — e.g. an integer-ms timing slip on
+        # one channel (round-4 seed-7 soak: fixes walked hundreds of km
+        # while every per-channel indicator looked healthy) — must never
+        # reach the fix stream, because the solved clock bias STEERS the
+        # receiver clock and would poison every later measurement. A
+        # healthy overdetermined solve leaves cm-level residuals, so a
+        # large worst-residual is unambiguous: drop the worst measurement
+        # while > 4 remain; an excluded channel whose residual implies a
+        # timing fault (not noise) is reset to reacquire; if no clean
+        # subset exists the epoch produces NO fix (and no clock steer).
+        gate = self.cfg.fix_residual_gate_m
+        while (gate > 0 and len(prs) > 4
+               and float(np.max(np.abs(sol.residuals))) > gate):
+            worst = int(np.argmax(np.abs(sol.residuals)))
+            w_res = float(sol.residuals[worst])
+            i_bad = ch_idx[worst]
+            logger.warning(
+                "PVT integrity: excluding PRN %d (residual %.1f m)",
+                prns[worst], w_res)
+            if abs(w_res) > self.cfg.fix_fault_reset_m:
+                ch_bad = self.channels[i_bad]
+                logger.warning(
+                    "PRN %d measurement fault (%.0f m residual, timing "
+                    "slip); reacquiring", ch_bad.prn, w_res)
+                self.session.reset_channel(i_bad)
+                self.channels[i_bad] = _ChannelBookkeeping(ch_bad.prn)
+                self._low_cn0_ms[i_bad] = 0
+                self._dead_cn0_ms[i_bad] = 0
+                self._smooth.pop(i_bad, None)
+            for lst in (prs, raw_prs, ephs, prns, dops, ch_idx):
+                del lst[worst]
+            sol = solve_pvt(
+                np.asarray(prs), ephs, t_rx,
+                approx_position=np.asarray(self.cfg.approx_position),
+            )
+            if sol is None or not sol.converged:
+                return
+        if gate > 0 and float(np.max(np.abs(sol.residuals))) > gate:
+            logger.warning(
+                "PVT integrity: no clean %d-satellite subset "
+                "(max residual %.1f m); fix rejected",
+                len(prs), float(np.max(np.abs(sol.residuals))))
             return
         velocity, drift = None, None
         if self.cfg.enable_doppler:

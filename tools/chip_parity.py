@@ -115,12 +115,13 @@ def _truth_key() -> str:
     import sydr_tpu.channels.runtime as _rt
     import sydr_tpu.channels.state as _st
     import sydr_tpu.ops.correlator_kernel as _ck
+    import sydr_tpu.ops.profiles as _pf
     import sydr_tpu.ops.tracking as _tk
     import sydr_tpu.signal.cacode as _cc
     import sydr_tpu.signal.synthetic as _sy
 
     h = hashlib.sha256(SETUP.encode())
-    for mod in (_br, _rt, _st, _tk, _cc, _sy, _ck):
+    for mod in (_br, _rt, _st, _tk, _cc, _sy, _ck, _pf):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
     return h.hexdigest()

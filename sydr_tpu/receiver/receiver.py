@@ -233,6 +233,8 @@ class Receiver:
         self.last_outputs: dict | None = None
         self._low_cn0_ms = np.zeros(len(cfg.prns), dtype=int)
         self._dead_cn0_ms = np.zeros(len(cfg.prns), dtype=int)
+        # consecutive measurement-epoch exclusions per channel (RAIM gate)
+        self._excluded_epochs: dict[int, int] = {}
         # Carrier-smoothing state: integrated tracked Doppler [cycles] per
         # channel plus the per-channel Hatch filter memory.
         self._phase_cycles = np.zeros(len(cfg.prns), dtype=np.float64)
@@ -644,15 +646,23 @@ class Receiver:
         # timing fault (not noise) is reset to reacquire; if no clean
         # subset exists the epoch produces NO fix (and no clock steer).
         gate = self.cfg.fix_residual_gate_m
+        excluded_now: set = set()
         while (gate > 0 and len(prs) > 4
                and float(np.max(np.abs(sol.residuals))) > gate):
             worst = int(np.argmax(np.abs(sol.residuals)))
             w_res = float(sol.residuals[worst])
             i_bad = ch_idx[worst]
+            excluded_now.add(i_bad)
             logger.warning(
                 "PVT integrity: excluding PRN %d (residual %.1f m)",
                 prns[worst], w_res)
-            if abs(w_res) > self.cfg.fix_fault_reset_m:
+            # A channel excluded at several consecutive epochs carries a
+            # persistent measurement bias (not one noise event) — reset it
+            # even below the km-scale fault threshold.
+            self._excluded_epochs[i_bad] = \
+                self._excluded_epochs.get(i_bad, 0) + 1
+            if (abs(w_res) > self.cfg.fix_fault_reset_m
+                    or self._excluded_epochs[i_bad] >= 5):
                 ch_bad = self.channels[i_bad]
                 logger.warning(
                     "PRN %d measurement fault (%.0f m residual, timing "
@@ -661,6 +671,7 @@ class Receiver:
                 self.channels[i_bad] = _ChannelBookkeeping(ch_bad.prn)
                 self._low_cn0_ms[i_bad] = 0
                 self._dead_cn0_ms[i_bad] = 0
+                self._excluded_epochs.pop(i_bad, None)
                 self._smooth.pop(i_bad, None)
             for lst in (prs, raw_prs, ephs, prns, dops, ch_idx):
                 del lst[worst]
@@ -676,6 +687,11 @@ class Receiver:
                 "(max residual %.1f m); fix rejected",
                 len(prs), float(np.max(np.abs(sol.residuals))))
             return
+        # channels used in an accepted solution break their consecutive-
+        # exclusion streak
+        for i in ch_idx:
+            if i not in excluded_now:
+                self._excluded_epochs.pop(i, None)
         velocity, drift = None, None
         if self.cfg.enable_doppler:
             from sydr_tpu.nav.lse import solve_velocity

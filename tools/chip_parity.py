@@ -147,6 +147,22 @@ def _cpu_truth(force: bool = False):
              superblock=np.load("/tmp/parity_cpu_sb.npy"))
 
 
+# Gate bounds, exported so the bench JSON is self-interpreting
+# (docs/parity.md "Bench parity gate" cross-references these numbers).
+PARITY_BOUNDS = {
+    "parity_metric": 0.85,     # max |err|/(|ref|+1); healthy ~0.62
+    "parity_scaled": 0.15,     # max |err|/rms(prompt); healthy ~0.03
+    "prompt_ratio": [0.93, 1.07],  # ||prompt_got||/||prompt_ref||
+    "meaning": (
+        "4-block closed-loop Pallas-vs-CPU-dense correlator drift: "
+        "metric is max|err|/(|ref|+1) over all 6 correlator streams "
+        "(bf16 feedback noise, dominated by near-zero correlators), "
+        "scaled re-weights the same errors by prompt RMS amplitude, "
+        "prompt_ratio collapses if the code-word table misaligns; "
+        "parity_ok = all three within bounds"),
+}
+
+
 def production_parity(ns=None, ablate: bool = False):
     """Superblock-wordpack (production numeric path) parity vs CPU truth.
 
@@ -191,11 +207,15 @@ def production_parity(ns=None, ablate: bool = False):
     scaled = float(np.max(np.abs(got - ref))
                    / max(float(np.sqrt(np.mean(p_ref ** 2))), 1e-12))
     ratio = float(np.linalg.norm(p_got) / max(np.linalg.norm(p_ref), 1e-12))
-    ok = bool(metric <= 0.85 and scaled <= 0.15 and 0.93 <= ratio <= 1.07)
+    lo, hi = PARITY_BOUNDS["prompt_ratio"]
+    ok = bool(metric <= PARITY_BOUNDS["parity_metric"]
+              and scaled <= PARITY_BOUNDS["parity_scaled"]
+              and lo <= ratio <= hi)
     return {"parity_metric": round(metric, 4),
             "parity_scaled": round(scaled, 4),
             "prompt_ratio": round(ratio, 4),
-            "parity_ok": ok}
+            "parity_ok": ok,
+            "parity_bounds": PARITY_BOUNDS}
 
 
 def main():

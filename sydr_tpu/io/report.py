@@ -84,6 +84,29 @@ def generate_report(
                 axes[k // cols][k % cols].axis("off")
             fig.tight_layout()
             sections.append(_fig_to_html(fig))
+
+            # 3-D correlation surface (the reference's vis.js widget,
+            # utils/surface3d.py:8-40, as a static render): the strongest
+            # acquisition's Doppler x code-phase surface.
+            best = max(maps, key=lambda r: r["metric"])
+            m = blob_to_array(best["corr_map"])
+            dops = blob_to_array(best["corr_dopplers"])
+            # decimate the code-phase axis for a drawable mesh
+            step = max(1, m.shape[1] // 512)
+            ms = m[:, ::step]
+            X, Y = np.meshgrid(
+                np.arange(0, m.shape[1], step), np.asarray(dops) / 1e3)
+            fig = plt.figure(figsize=(7.5, 5))
+            ax = fig.add_subplot(111, projection="3d")
+            ax.plot_surface(X, Y, ms, cmap="viridis", rstride=1, cstride=1,
+                            linewidth=0, antialiased=False)
+            ax.set_xlabel("code phase [samples]", fontsize=8)
+            ax.set_ylabel("Doppler [kHz]", fontsize=8)
+            ax.set_title(
+                f"Correlation surface G{best['prn']:02d} "
+                f"(metric {best['metric']:.1f})", fontsize=10)
+            sections.append("<h3>Correlation surface</h3>"
+                            + _fig_to_html(fig))
         rows = "".join(
             f"<tr><td>G{r['prn']:02d}</td><td>{r['doppler']:+.0f}</td>"
             f"<td>{r['code_index']}</td>"
@@ -192,6 +215,34 @@ def generate_report(
             ax.set_xlabel("time [s]")
         fig.tight_layout()
         sections.append(_fig_to_html(fig))
+
+        # Solved velocity + clock drift (Doppler LSE, nav/lse.py:123);
+        # rows predating the velocity solve carry NULLs and are skipped.
+        vel_rows = [r for r in pos if r.get("vx") is not None]
+        if vel_rows:
+            vt = np.array([r["tow"] for r in vel_rows]) - tow[0]
+            venu = np.array([
+                geodesy.ecef_vector_to_enu(
+                    np.array([r["vx"], r["vy"], r["vz"]]), ref)
+                for r in vel_rows
+            ])
+            drift = np.array([r["clock_drift"] for r in vel_rows])
+            fig, axes = plt.subplots(1, 2, figsize=(11, 3))
+            for k, name in enumerate(("E", "N", "U")):
+                axes[0].plot(vt, venu[:, k], label=name)
+            axes[0].set_title("Velocity ENU [m/s]")
+            axes[0].legend()
+            axes[1].plot(vt, drift)
+            axes[1].set_title("Clock drift [m/s]")
+            for ax in axes:
+                ax.set_xlabel("time [s]")
+            fig.tight_layout()
+            speed = np.linalg.norm(venu, axis=1)
+            sections.append(
+                "<h3>Velocity</h3>" + _fig_to_html(fig)
+                + f"<p>speed mean {speed.mean():.3f} m/s, max "
+                f"{speed.max():.3f} m/s; clock drift mean "
+                f"{drift.mean():+.3f} m/s</p>")
 
         # Map view (reference visualisation.py:643-801 renders an OSM tile
         # map; this report is self-contained/offline, so the geodetic track

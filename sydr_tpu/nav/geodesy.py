@@ -59,6 +59,20 @@ def ecef_to_enu(pos: np.ndarray, ref: np.ndarray):
     return np.stack([east, north, up], axis=-1)
 
 
+def ecef_vector_to_enu(vec: np.ndarray, ref: np.ndarray):
+    """Rotate a free ECEF vector (e.g. velocity) into local ENU at ``ref``
+    — no translation, unlike :func:`ecef_to_enu` which differences
+    positions first."""
+    lat, lon, _ = ecef_to_geodetic(ref)
+    v = np.asarray(vec, dtype=np.float64)
+    sl, cl = np.sin(lat), np.cos(lat)
+    so, co = np.sin(lon), np.cos(lon)
+    east = -so * v[..., 0] + co * v[..., 1]
+    north = -sl * co * v[..., 0] - sl * so * v[..., 1] + cl * v[..., 2]
+    up = cl * co * v[..., 0] + cl * so * v[..., 1] + sl * v[..., 2]
+    return np.stack([east, north, up], axis=-1)
+
+
 def elevation_azimuth(sat_pos: np.ndarray, rx_pos: np.ndarray):
     """Satellite elevation/azimuth [rad] as seen from ``rx_pos`` (ECEF)."""
     enu = ecef_to_enu(sat_pos, rx_pos)

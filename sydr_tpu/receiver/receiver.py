@@ -239,6 +239,12 @@ class Receiver:
         # channel plus the per-channel Hatch filter memory.
         self._phase_cycles = np.zeros(len(cfg.prns), dtype=np.float64)
         self._smooth: dict[int, tuple] = {}   # i -> (phase_at, value, n)
+        # Carrier-phase observable (RINEX L1C) anchors: i -> (phase0, L0)
+        # with L0 = pr(t0)/lambda at the start of each continuous arc, so
+        # L(t) = L0 - (phase(t) - phase0) tracks range in cycles with the
+        # RINEX sign convention dL/dt = -D1C (the reference's RINEXObs
+        # never exported phase; sydr/io/RINEXObs.py:14 is broken).
+        self._l1c_anchor: dict[int, tuple] = {}
         self._acq_logged: set = set()
         self._block_index = 0
         self._epochs_done = 0          # tracking epochs (ms) processed
@@ -471,6 +477,7 @@ class Receiver:
                 self._low_cn0_ms[i] = 0
                 self._dead_cn0_ms[i] = 0
                 self._smooth.pop(i, None)
+                self._l1c_anchor.pop(i, None)
 
     # ------------------------------------------------------------------
     def _smooth_pseudorange(self, i: int, pr: float) -> float:
@@ -494,6 +501,27 @@ class Receiver:
                 return smoothed
         self._smooth[i] = (phase, pr, 1)
         return pr
+
+    # ------------------------------------------------------------------
+    def _carrier_phase_obs(self, i: int, pr: float) -> float:
+        """Carrier-phase observable (RINEX L1C, cycles) for channel ``i``.
+
+        Anchored to ``pr/lambda`` at the start of each continuous arc (a
+        Hatch-filter restart marks a cycle slip / lock transient), then
+        advanced by the integrated tracked Doppler with the RINEX sign
+        convention (range down -> phase observable down, dL/dt = -D1C).
+        Call AFTER ``_smooth_pseudorange`` so a restart epoch re-anchors.
+        """
+        lam = SPEED_OF_LIGHT / GPS_L1CA_CARRIER_FREQ
+        phase = float(self._phase_cycles[i])
+        sm = self._smooth.get(i)
+        fresh_arc = sm is not None and sm[2] == 1
+        anchor = self._l1c_anchor.get(i)
+        if anchor is None or fresh_arc:
+            anchor = (phase, pr / lam)
+            self._l1c_anchor[i] = anchor
+        phase0, l0 = anchor
+        return l0 - (phase - phase0)
 
     # ------------------------------------------------------------------
     def _transmit_time_at(self, i: int, sample: int,
@@ -604,6 +632,7 @@ class Receiver:
         t_rx = self.clock_tow + (sample - self.clock_sample) / self.fs
 
         prs, raw_prs, ephs, prns, dops, ch_idx = [], [], [], [], [], []
+        l1cs = []
         for i, ch, eph in ready:
             raw = (t_rx - tx_times[i]) * SPEED_OF_LIGHT
             pr = raw
@@ -615,6 +644,7 @@ class Receiver:
             pr -= self._atmospheric_delay(eph, t_rx, tx_times[i])
             if self.cfg.smoothing_time_s > 0:
                 pr = self._smooth_pseudorange(i, pr)
+            l1cs.append(self._carrier_phase_obs(i, pr))
             prs.append(pr)
             raw_prs.append(raw)
             ephs.append(eph)
@@ -673,7 +703,8 @@ class Receiver:
                 self._dead_cn0_ms[i_bad] = 0
                 self._excluded_epochs.pop(i_bad, None)
                 self._smooth.pop(i_bad, None)
-            for lst in (prs, raw_prs, ephs, prns, dops, ch_idx):
+                self._l1c_anchor.pop(i_bad, None)
+            for lst in (prs, raw_prs, ephs, prns, dops, ch_idx, l1cs):
                 del lst[worst]
             sol = solve_pvt(
                 np.asarray(prs), ephs, t_rx,
@@ -708,13 +739,23 @@ class Receiver:
         )
         self.fixes.append(fix)
         if self.db is not None:
-            self.db.add("position", {
+            pos_row = {
                 "tow": t_rx, "sample": sample,
                 "x": float(sol.position[0]), "y": float(sol.position[1]),
                 "z": float(sol.position[2]),
                 "clock_bias": sol.clock_bias_m,
                 "n_satellites": len(prs), "gdop": sol.gdop,
-            })
+            }
+            if velocity is not None:
+                # solved velocity + clock drift (reference kept the
+                # velocity solve only in old/receiver_gps_l1.py:441-451
+                # and never persisted it)
+                pos_row.update({
+                    "vx": float(velocity[0]), "vy": float(velocity[1]),
+                    "vz": float(velocity[2]),
+                    "clock_drift": float(drift),
+                })
+            self.db.add("position", pos_row)
             for k, i in enumerate(ch_idx):
                 self.db.add("measurement", {
                     "tow": t_rx, "channel_id": i, "prn": prns[k],
@@ -728,6 +769,11 @@ class Receiver:
                         "mtype": "doppler", "value": dops[k],
                         "raw_value": dops[k], "residual": 0.0,
                     })
+                self.db.add("measurement", {
+                    "tow": t_rx, "channel_id": i, "prn": prns[k],
+                    "mtype": "carrier_phase", "value": l1cs[k],
+                    "raw_value": l1cs[k], "residual": 0.0,
+                })
         # Steer the receiver clock with the solved bias (reference :378).
         self.clock_tow = t_rx - sol.clock_bias_m / SPEED_OF_LIGHT
         self.clock_sample = sample
@@ -738,6 +784,13 @@ class Receiver:
             self._smooth = {
                 i: (ph, val - sol.clock_bias_m, n)
                 for i, (ph, val, n) in self._smooth.items()
+            }
+        # The carrier-phase anchors live in the same steered range frame.
+        if self._l1c_anchor:
+            lam = SPEED_OF_LIGHT / GPS_L1CA_CARRIER_FREQ
+            self._l1c_anchor = {
+                i: (ph0, l0 - sol.clock_bias_m / lam)
+                for i, (ph0, l0) in self._l1c_anchor.items()
             }
         logger.info(
             "fix @%0.3f: %s bias=%.1fm nsat=%d", t_rx,

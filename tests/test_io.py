@@ -171,3 +171,43 @@ def test_rinex_obs_export_from_db(tmp_path):
     assert n == 2
     assert rinex_obs.read_obs(path)[0]["obs"][5]["D1C"] == pytest.approx(1500.0)
     db.close()
+
+
+def test_rinex_obs_l1c_roundtrip(tmp_path):
+    """L1C writes/reads in the 3-observable layout; records with a missing
+    middle observable keep later fields in their 16-char slots."""
+    from sydr_tpu.io import rinex_obs
+
+    epochs = [
+        {"tow": 302406.0, "obs": {
+            2: {"C1C": 21234567.123, "L1C": -12345.678, "D1C": 1234.5},
+            7: {"C1C": 22345678.5, "D1C": -2345.25},   # no L1C
+        }},
+    ]
+    path = str(tmp_path / "obs3.rnx")
+    rinex_obs.write_obs(path, epochs, week=2190)
+    back = rinex_obs.read_obs(path)
+    o2 = back[0]["obs"][2]
+    assert o2["L1C"] == pytest.approx(-12345.678, abs=1e-3)
+    assert o2["D1C"] == pytest.approx(1234.5, abs=1e-2)
+    o7 = back[0]["obs"][7]
+    assert "L1C" not in o7
+    assert o7["D1C"] == pytest.approx(-2345.25, abs=1e-2)
+
+
+def test_rinex_obs_export_carrier_phase(tmp_path):
+    from sydr_tpu.io import rinex_obs
+
+    db = ResultDatabase(str(tmp_path / "m3.db"))
+    for tow in (1.0, 2.0):
+        for mtype, val in (("pseudorange", 2.1e7),
+                           ("doppler", 1500.0),
+                           ("carrier_phase", -777.125)):
+            db.add("measurement", {"tow": tow, "channel_id": 0, "prn": 5,
+                                   "mtype": mtype, "value": val,
+                                   "raw_value": val, "residual": 0.0})
+    path = str(tmp_path / "exp3.rnx")
+    assert rinex_obs.export_from_database(db, path) == 2
+    back = rinex_obs.read_obs(path)
+    assert back[0]["obs"][5]["L1C"] == pytest.approx(-777.125, abs=1e-3)
+    db.close()

@@ -172,7 +172,9 @@ def test_report_generation(tmp_path):
     rx.db.add("position", {"tow": 2.0, "sample": 2, "x": 2795126.0,
                            "y": 1236113.0, "z": 5579645.0,
                            "clock_bias": 11.0, "n_satellites": 5,
-                           "gdop": 2.1})
+                           "gdop": 2.1,
+                           "vx": 0.1, "vy": -0.2, "vz": 0.05,
+                           "clock_drift": 0.4})
     rx.timers.store(rx.db)
     from sydr_tpu.io.report import generate_report
 
@@ -189,6 +191,9 @@ def test_report_generation(tmp_path):
     assert "openstreetmap.org" in text
     assert "<h3>Map</h3>" in text
     assert "Processing time" in text and "track_block" in text
+    # round-5 panels: 3-D correlation surface, solved velocity/drift
+    assert "Correlation surface" in text
+    assert "<h3>Velocity</h3>" in text and "clock drift" in text
     assert os.path.getsize(out) > 50_000  # embedded figures
     rx.db.close()
 
@@ -510,3 +515,70 @@ def test_rinex_obs_export_cli_path(tmp_path):
     assert abs(first["obs"][5]["C1C"] - 21000123.4) < 1e-3
     assert abs(first["obs"][12]["D1C"] + 2600.25) < 1e-3
     db.close()
+
+
+def test_carrier_phase_observable_continuity():
+    """L1C (cycles): anchored to pr/lambda at arc start, advanced by
+    -integrated-Doppler (RINEX sign: dL/dt = -D1C), re-anchored on a
+    Hatch-filter restart (cycle slip)."""
+    from sydr_tpu.constants import GPS_L1CA_CARRIER_FREQ, SPEED_OF_LIGHT
+
+    rx = Receiver(_cfg())
+    lam = SPEED_OF_LIGHT / GPS_L1CA_CARRIER_FREQ
+
+    rx._phase_cycles[0] = 1000.0
+    pr1 = 21_000_000.0
+    s1 = rx._smooth_pseudorange(0, pr1)
+    l1 = rx._carrier_phase_obs(0, s1)
+    assert l1 == pytest.approx(s1 / lam)
+
+    # range decreases by exactly the carrier advance (+ 0.8 m code noise):
+    # the phase observable must fall by exactly the cycle count, with the
+    # code noise absent from the delta (cycle-count continuity).
+    rx._phase_cycles[0] += 1500.25
+    pr2 = pr1 - 1500.25 * lam + 0.8
+    s2 = rx._smooth_pseudorange(0, pr2)
+    l2 = rx._carrier_phase_obs(0, s2)
+    assert l2 - l1 == pytest.approx(-1500.25, abs=1e-9)
+
+    # a >30 m raw-vs-predicted gap restarts the Hatch filter AND the arc
+    rx._phase_cycles[0] += 10.0
+    pr3 = pr2 - 10.0 * lam + 100.0
+    s3 = rx._smooth_pseudorange(0, pr3)
+    l3 = rx._carrier_phase_obs(0, s3)
+    assert rx._smooth[0][2] == 1  # filter restarted
+    assert l3 == pytest.approx(s3 / lam)
+
+    # channel reset drops the anchor entirely
+    rx._l1c_anchor and rx._l1c_anchor.pop(0)
+    assert 0 not in rx._l1c_anchor
+
+
+def test_dashboard_rich_render():
+    """Per-channel colored live display (reference enlightengui.py:67-155):
+    state badge, C/N0 meter, TOW badge, subframe 1-5 cells."""
+    import io
+
+    from sydr_tpu.receiver.dashboard import Dashboard
+
+    rx = Receiver(_cfg())
+    buf = io.StringIO()
+    dash = Dashboard(rx, stream=buf, force=True)
+    n_bl = rx.cfg.tracking.block_ms
+    out = {
+        "cn0": np.full((n_bl, 2), 43.0),
+        "carrier_freq": np.full((n_bl, 2), 1200.0),
+        "flags": np.zeros((n_bl, 2), dtype=np.int64),
+    }
+    rx.channels[0].subframes_seen.update({1, 2})
+    rx.channels[0].tow_ref = 302406.0
+    dash.update(out)
+    text = buf.getvalue()
+    assert "\x1b[" in text                      # ANSI styling present
+    assert "G05" in text and "G12" in text      # both channels
+    assert "TOW 302406" in text                 # decoded TOW badge
+    assert "dB-Hz" in text
+    # five subframe cells rendered per channel
+    assert text.count("\x1b[97;42m1\x1b[0m") == 1   # sf1 green on ch0 only
+    assert text.count("\x1b[97;41m4\x1b[0m") == 2   # sf4 red on both
+    dash.close()

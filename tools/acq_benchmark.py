@@ -54,8 +54,17 @@ def run_config(
     seed: int,
     threshold: float,
     plans=None,
+    nav_bits: bool = False,
 ) -> dict:
-    """One (C/N0, settings) cell. ``cn0_dbhz=None`` = signal-absent (Pfa)."""
+    """One (C/N0, settings) cell. ``cn0_dbhz=None`` = signal-absent (Pfa).
+
+    ``nav_bits=True`` modulates each trial's satellite with random LNAV data
+    bits at a random bit phase (a random integer number of code periods is
+    added to the code phase, which shifts the 20-ms bit grid without moving
+    the correlation peak), so coherent integration straddles real data-bit
+    transitions — the realistic (slightly harder) condition near threshold.
+    The default (no bits) measures the bit-transition-free upper bound.
+    """
     from sydr_tpu.ops import acquisition as acq
     from sydr_tpu.signal.synthetic import IQGenerator
 
@@ -71,9 +80,15 @@ def run_config(
         gen = IQGenerator(sampling_frequency, noise=True,
                           seed=int(rng.integers(1 << 31)))
         if cn0_dbhz is not None:
+            bits = None
+            phase = float(true_chips[k])
+            if nav_bits:
+                bits = rng.integers(0, 2, 64)
+                # whole code periods shift the bit grid, not the peak
+                phase += CODE_CHIPS * int(rng.integers(0, 20))
             gen.add_satellite(prn, doppler_hz=float(true_dop[k]),
-                              code_phase_chips=float(true_chips[k]),
-                              cn0_dbhz=float(cn0_dbhz))
+                              code_phase_chips=phase,
+                              cn0_dbhz=float(cn0_dbhz), nav_bits=bits)
         iq[k] = gen.generate_ms(n_ms)
 
     kf = acq.code_fft_conj(prn, sampling_frequency)
@@ -141,9 +156,12 @@ def render_table(rows: list[dict], threshold: float) -> str:
             f"| {r.get('code_rms_chips', float('nan')):.3f} |")
     absent = [r for r in rows if r["cn0_dbhz"] is None]
     if absent:
+        nt = absent[0]["trials"]
+        hits = int(round(absent[0]["pfa"] * nt))
         lines.append(
-            f"\nSignal-absent: Pfa = {absent[0]['pfa']:.3f} at threshold "
-            f"{threshold} ({absent[0]['trials']} trials).")
+            f"\nSignal-absent: Pfa = {hits}/{nt} trials at threshold "
+            f"{threshold} (rule-of-three 95% upper bound ≈ "
+            f"{3.0 / nt:.3f} when 0 observed).")
     return "\n".join(lines)
 
 
@@ -161,6 +179,9 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=1.5)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-pfa", action="store_true")
+    p.add_argument("--nav-bits", action="store_true",
+                   help="modulate trials with random data bits at random "
+                        "bit phase (realistic near-threshold condition)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (JAX_PLATFORMS alone is "
                         "ignored under the axon plugin)")
@@ -175,36 +196,47 @@ def main(argv=None) -> int:
     from sydr_tpu.ops import fft as mmfft
     plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
 
-    rows = []
-    for i, cn0 in enumerate(args.cn0):
-        r = run_config(
+    def cell(cn0, seed):
+        return run_config(
             prn=args.prn, cn0_dbhz=cn0, trials=args.trials,
             sampling_frequency=args.fs, coherent=args.coherent,
             non_coherent=args.non_coherent,
             doppler_range=args.doppler_range,
             doppler_step=args.doppler_step,
-            seed=args.seed + i, threshold=args.threshold, plans=plans)
+            seed=seed, threshold=args.threshold, plans=plans,
+            nav_bits=args.nav_bits)
+
+    # Warm-up at the sweep shape so no row's wall_s pays JIT compile
+    # (advisor round-4: the first row's timing was compile-dominated).
+    cell(None, args.seed + 10_000_000)
+
+    rows = []
+    for cn0 in args.cn0:
+        # Per-point seed derives from the C/N0 VALUE (not list position):
+        # re-running any documented subset reproduces the recorded numbers.
+        r = cell(float(cn0), args.seed + int(round(cn0 * 10)))
         rows.append(r)
         print(json.dumps(r), flush=True)
     if not args.no_pfa:
-        r = run_config(
-            prn=args.prn, cn0_dbhz=None, trials=args.trials,
-            sampling_frequency=args.fs, coherent=args.coherent,
-            non_coherent=args.non_coherent,
-            doppler_range=args.doppler_range,
-            doppler_step=args.doppler_step,
-            seed=args.seed + 1000, threshold=args.threshold, plans=plans)
+        r = cell(None, args.seed + 1000)
         rows.append(r)
         print(json.dumps(r), flush=True)
 
     table = render_table(rows, args.threshold)
     print("\n" + table)
     if args.out:
+        cmd = "python tools/acq_benchmark.py " + " ".join(
+            a for a in (argv if argv is not None else sys.argv[1:])
+            if a != "--out" and a != args.out)
         with open(args.out, "w") as fh:
             fh.write("# Acquisition benchmark\n\n"
                      f"PRN {args.prn}, fs {args.fs/1e6:g} Msps, grid "
                      f"±{args.doppler_range:.0f} Hz @ {args.doppler_step:.0f} "
-                     f"Hz, {args.trials} trials/point.\n\n" + table + "\n")
+                     f"Hz, {args.trials} trials/point"
+                     + (", random nav bits at random bit phase"
+                        if args.nav_bits else
+                        ", no nav-bit modulation (transition-free bound)")
+                     + f".\n\nExact command: `{cmd}`\n\n" + table + "\n")
     return 0
 
 

@@ -122,6 +122,19 @@ class IQGenerator:
         )
 
     # ------------------------------------------------------------------
+    def set_cn0(self, prn: int, cn0_dbhz: float) -> None:
+        """Change a satellite's C/N0 mid-run (phase-continuous): the
+        amplitude updates, the code/carrier state is untouched — for
+        sensitivity sweeps that drop the signal level after lock
+        (tools/track_benchmark.py)."""
+        for sat in self._sats:
+            if sat.prn == prn:
+                sat.amplitude = float(
+                    np.sqrt(10.0 ** (cn0_dbhz / 10.0) / self.fs))
+                return
+        raise KeyError(f"PRN {prn} not in generator")
+
+    # ------------------------------------------------------------------
     def _sat_chunk(self, sat: _SatState, n: int) -> np.ndarray:
         """Generate ``n`` samples (one ms) for one satellite and advance it."""
         fd = sat.doppler_for_ms()

@@ -265,7 +265,56 @@ class _DummyGUI:
         return lambda *a, **k: None
 
 
-def run_reference(ini_path: str):
+def _install_bitsync_patch():
+    """Replace the reference's first-flip bit-sync declaration with a
+    histogram vote, by WRAPPING (not copying) its tracking step.
+
+    The stock channel declares BIT_SYNC at the FIRST prompt sign flip
+    after 100 ms of convergence (channel_l1ca_borre.py:399-407); one
+    noise-driven flip then mis-anchors the 20 ms bit grid and shifts
+    every downstream TOW/pseudorange by integer milliseconds — the slip
+    class docs/parity.md documents. This wrapper lets the stock code
+    declare, then VETOES the declaration unless the flip's bit phase
+    (``codeCounter mod 20``) holds a clear majority of all flips seen so
+    far — the same histogram policy our receiver uses
+    (tests/test_bitsync_robustness.py). Re-flips keep working after a
+    veto because the stock detector state (``self.iPrompt``) updates
+    every epoch regardless (``channel_l1ca_borre.py:418``), and the
+    ``resetPrompt()`` side effect only clears pre-sync accumulators.
+    """
+    import sydr.receiver.receiver_gps_l1ca as rgps
+    from sydr.utils.enumerations import TrackingFlags
+
+    base = rgps.ChannelL1CA
+
+    class VotedBitSyncChannel(base):
+        VOTES_REQUIRED = 4
+        MARGIN = 2.0
+
+        def runTracking(self):
+            had = bool(self.trackFlags & TrackingFlags.BIT_SYNC)
+            res = super().runTracking()
+            if not had and (self.trackFlags & TrackingFlags.BIT_SYNC):
+                if not hasattr(self, "_flip_votes"):
+                    self._flip_votes = {}
+                ph = int(self.codeCounter) % 20
+                self._flip_votes[ph] = self._flip_votes.get(ph, 0) + 1
+                votes = self._flip_votes
+                best = max(votes.values())
+                second = max(
+                    (v for p, v in votes.items() if p != ph), default=0)
+                ok = (votes[ph] == best
+                      and best >= self.VOTES_REQUIRED
+                      and best >= self.MARGIN * max(second, 1))
+                if not ok:
+                    self.trackFlags &= ~TrackingFlags.BIT_SYNC
+            return res
+
+    VotedBitSyncChannel.__name__ = "ChannelL1CA"
+    rgps.ChannelL1CA = VotedBitSyncChannel
+
+
+def run_reference(ini_path: str, patch_bitsync: bool = False):
     """Run the reference receiver on the capture; return (db_path, rtf)."""
     _shim_reference_deps()
     if REF not in sys.path:
@@ -275,6 +324,9 @@ def run_reference(ini_path: str):
 
     logging.getLogger().setLevel(logging.WARNING)
     from sydr.receiver.receiver_gps_l1ca import ReceiverGPSL1CA
+
+    if patch_bitsync:
+        _install_bitsync_patch()
 
     cfg = configparser.ConfigParser()
     cfg.read(ini_path)
@@ -628,6 +680,11 @@ def main(argv=None) -> int:
                          "already in --out (requires a prior --keep run)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for the sydr_tpu run")
+    ap.add_argument("--patch-bitsync", action="store_true",
+                    help="run the reference with its first-flip bit sync "
+                         "replaced by a histogram vote (no slips to "
+                         "correct; the gate then uses RAW single-diffs "
+                         "against the c/fs quantisation floor)")
     args = ap.parse_args(argv)
 
     if not os.path.isdir(os.path.join(REF, "sydr")):
@@ -660,7 +717,8 @@ def main(argv=None) -> int:
 
         our_db, our_rtf = run_ours(ini_our, args.runtime, args.pallas,
                                    smoothing_s=args.smooth)
-        ref_db, ref_rtf = run_reference(ini_ref)
+        ref_db, ref_rtf = run_reference(
+            ini_ref, patch_bitsync=args.patch_bitsync)
 
     summary, pairs = compare(read_fixes_ref(ref_db),
                              read_fixes_ours(our_db), args.fs, ephs=sats,
@@ -685,6 +743,7 @@ def main(argv=None) -> int:
         "runtime": args.runtime, "smoothing_s": args.smooth,
         "pvt_within_1m": (summary.get("pvt_delta_max_m") is not None
                           and summary["pvt_delta_max_m"] < 1.0),
+        "ref_bitsync_patched": args.patch_bitsync,
         "ref_slips_explained_by_bitsync": slips_explained,
         # Parity gate, honest to the reference's own accuracy floor:
         #  * our receiver lands on the TRUTH at meter level;

@@ -83,6 +83,13 @@ DECIMATE = int(os.environ.get("BENCH_DECIMATE", "4"))
 # Pass-A epoch geometry: "scan" (recurrence) or "closed" (vectorised
 # closed form; see channels/batch_runtime._pass_a_closed).
 PASS_A = os.environ.get("BENCH_PASS_A", "closed")
+# Loop profile of the measured cruise configuration. Production switched
+# to kaplan in round 5: the borre Costas loop under 20 ms delayed block
+# feedback holds metastable alias lock points at ~k*25 Hz on ~15% of
+# cold-start code phases (tools/track_benchmark.py finding); the
+# FLL-assisted kaplan loop at the same block shape never does, at
+# negligible pass-C cost.
+PROFILE = os.environ.get("BENCH_PROFILE", "kaplan")
 
 
 # --------------------------------------------------------------------------
@@ -168,6 +175,7 @@ def bench_tracking(decimate=1):
         boundary_mode=BOUNDARY,
         input_decimate=decimate,
         pass_a=PASS_A,
+        profile=PROFILE,
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)

@@ -443,6 +443,14 @@ def _kernel_word_table(cfg: TrackingConfig, words):
         (0, 0), (0, 0),
         (lead_u * q_sub, u_pad * q_sub - lead_u * q_sub - g_dim)))
     tab = wq.reshape(n_ch, n_rows, u_pad, q_sub)
+    if q_sub == 1:
+        # Q == 1 (gsize 128, the full-rate shape): every lane of a table
+        # row holds the SAME word, so ship the lane-1 table as-is and let
+        # the kernel lane-broadcast it in VMEM — the materialized
+        # XLA broadcast measured 2.56 ms/s at the full-rate product shape
+        # and the expanded table cost ~18 GB/s of per-grid-step DMA
+        # (1.6 MB/channel block) for 128x redundant lanes.
+        return tab
     # Expansion as an exact 0/1 matmul (one nonzero per column, HIGHEST so
     # the up-to-24-bit f32 words survive): a jnp.repeat here produced a
     # 1.6 ms/s relayout copy + broadcast on device; the dot_general lands

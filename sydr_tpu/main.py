@@ -52,14 +52,19 @@ def _build_demo(args):
     )
     # Pull-in -> cruise handoff (batch runtime default): once every channel
     # is stable the session promotes itself to the throughput-optimal
-    # cruise shape — borre loops at 20 ms blocks scanned into long
+    # cruise shape — kaplan loops at 20 ms blocks scanned into long
     # superblock dispatches, the bench.py headline configuration.
+    # (Round 5: cruise switched borre -> kaplan. The borre Costas loop
+    # under 20 ms delayed block feedback holds metastable alias locks at
+    # ~k*25 Hz on ~15% of cold-start code phases — C/N0 -18 dB, PLL lock
+    # ~0 — found by tools/track_benchmark.py; the FLL-assisted kaplan
+    # loop at the same shape never cycles, at equal kernel cost.)
     cruise = None
     if args.runtime == "batch" and not args.no_cruise:
         import dataclasses as _dc
 
         cruise = _dc.replace(
-            pull_in, profile="borre", block_ms=20,
+            pull_in, profile="kaplan", block_ms=20,
             superblock=max(1, int(args.cruise_superblock)))
     run_cfg = RunConfig(
         receiver=ReceiverConfig(

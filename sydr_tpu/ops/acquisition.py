@@ -223,6 +223,91 @@ def pcps_shift_map(
     return jnp.transpose(mmfft.unpermute(acc, inv_plan), (1, 0, 2))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sampling_frequency", "intermediate_frequency", "coherent",
+        "non_coherent", "phases", "bin_shifts", "interpret"))
+def pcps_shift_map_fused(
+    iq_re: jax.Array,
+    iq_im: jax.Array,
+    code_k_re: jax.Array,
+    code_k_im: jax.Array,
+    fwd_plan: mmfft.DFTPlan,
+    inv_plan: mmfft.DFTPlan,
+    *,
+    sampling_frequency: float,
+    intermediate_frequency: float = 0.0,
+    coherent: int = 5,
+    non_coherent: int = 10,
+    phases: tuple = (0.0,),
+    bin_shifts: tuple = ((0, 0),),
+    interpret: bool = False,
+) -> jax.Array:
+    """:func:`pcps_shift_map` with the per-bin chain in one Pallas kernel.
+
+    The XLA shift map materializes every idft stage in HBM
+    (``[n_bins, n_ch, n2, n1]`` bf16 intermediates per non-coherent
+    block; chip trace in ``tools/acq_profile.py --trace``), which pins it
+    at ~100-210M grid points/s. Here the spectrum product, both
+    inverse-DFT matmul stages, the twiddle and the magnitude
+    accumulation run in VMEM per (bin, channel) program
+    (``ops.acq_kernel``): HBM sees the spectra once and one magnitude
+    map per bin. Bit-compatibility: the kernel's dots run the backend's
+    single-pass bf16 (noise-dominated stage, ~-48 dB rounding); the
+    two-peak metric is unchanged.
+    """
+    from sydr_tpu.ops import acq_kernel
+
+    n_ch, n = code_k_re.shape
+    n2, n1 = inv_plan.n2, inv_plan.n1
+    blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
+    blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
+    t = (jnp.arange(coherent * n, dtype=jnp.float32)
+         / sampling_frequency).reshape(coherent, n)
+
+    spec_re, spec_im = [], []
+    for f_p in phases:
+        ph = -2.0 * jnp.pi * (intermediate_frequency + f_p) * t
+        cos, sin = jnp.cos(ph), jnp.sin(ph)
+        mre = blocks_re * cos[None, None] - blocks_im * sin[None, None]
+        mim = blocks_re * sin[None, None] + blocks_im * cos[None, None]
+        fre, fim = mmfft.dft(mre, mim, fwd_plan)
+        spec_re.append(jnp.sum(fre, axis=2))            # [ch, nc, n]
+        spec_im.append(jnp.sum(fim, axis=2))
+    # [n_ph, ch, nc, n2, n1] — canonical flat reshaped exactly as idft does
+    sre = jnp.stack(spec_re).reshape(
+        len(phases), n_ch, non_coherent, n2, n1)
+    sim = jnp.stack(spec_im).reshape(
+        len(phases), n_ch, non_coherent, n2, n1)
+
+    # (phase, k) slot grid: bins grouped by phase, padded to k_max
+    slots: list[list[int]] = [[] for _ in phases]
+    slot_of_bin = []
+    for k, p in bin_shifts:
+        slot_of_bin.append((p, len(slots[p])))
+        slots[p].append(k)
+    k_max = max(len(s) for s in slots)
+    kre_rows, kim_rows = [], []
+    for p, ks in enumerate(slots):
+        for ki in range(k_max):
+            k = ks[ki] if ki < len(ks) else 0
+            kre_rows.append(jnp.roll(code_k_re, k, axis=-1))
+            kim_rows.append(jnp.roll(code_k_im, k, axis=-1))
+    kre_all = jnp.stack(kre_rows).reshape(-1, n_ch, n2, n1)
+    kim_all = jnp.stack(kim_rows).reshape(-1, n_ch, n2, n1)
+
+    maps = acq_kernel.pcps_fused_bins(
+        sre, sim, kre_all, kim_all, inv_plan,
+        non_coherent=non_coherent, interpret=interpret,
+    )                                    # [n_ph*k_max, ch, n2, n1]
+    sel = jnp.asarray(
+        [p * k_max + ki for p, ki in slot_of_bin], dtype=jnp.int32)
+    picked = jnp.take(maps, sel, axis=0)            # [n_bins, ch, n2, n1]
+    return jnp.transpose(
+        mmfft.unpermute(picked, inv_plan), (1, 0, 2))
+
+
 # PCPS formulation choice, gated on MEASURED chip rates rather than op
 # counts (tools/acq_profile.py). History: BENCH_r01 measured the direct
 # map at 322M grid points/s and r02 the shift map at 240M, suggesting a
@@ -347,7 +432,27 @@ def acquire(
     bins = np.asarray(bins, dtype=np.float32)
     n_dop = len(bins)
     sp = shift_plan(bins, sampling_frequency, n)
-    if sp is not None:
+    # Fused Pallas per-bin kernel (ops.acq_kernel): ~5x the XLA shift
+    # map's grid rate on chip (HBM-bound intermediates eliminated; see
+    # pcps_shift_map_fused). Default on accelerator backends; interpret
+    # mode on CPU is slower than the XLA map, so CPU keeps the XLA form
+    # unless SYDR_ACQ_FUSED=1 forces it (tests do, for parity).
+    fused_env = os.environ.get("SYDR_ACQ_FUSED")
+    use_fused = (fused_env == "1" or (
+        fused_env != "0" and jax.default_backend() != "cpu"))
+    if sp is not None and use_fused:
+        phases, bin_shifts = sp
+        corr = pcps_shift_map_fused(
+            jnp.asarray(iq_re), jnp.asarray(iq_im),
+            jnp.asarray(k_re), jnp.asarray(k_im),
+            fwd, inv,
+            sampling_frequency=sampling_frequency,
+            intermediate_frequency=intermediate_frequency,
+            coherent=coherent, non_coherent=non_coherent,
+            phases=phases, bin_shifts=bin_shifts,
+            interpret=jax.default_backend() == "cpu",
+        )
+    elif sp is not None:
         phases, bin_shifts = sp
         corr = pcps_shift_map(
             jnp.asarray(iq_re),

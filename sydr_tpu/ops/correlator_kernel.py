@@ -190,9 +190,16 @@ def _sub_streams(spacings, spms, n_q, local, step0, gsize, chunk, super_n,
         r = l0 & 127
         es = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows + 8), :]
         if gsize == 128:
-            rot = es       # Q == 1: all 128 lanes hold the row's one word
-        else:
-            rot = pltpu.roll(es, (128 - r) & 127, axis=1)
+            # Q == 1: the table ships lane-1 (every lane of a row holds
+            # the same word, batch_runtime._kernel_word_table); the
+            # row-carry select lane-broadcasts it in VMEM.
+            up = pltpu.roll(es, n_rows + 8 - 1, axis=0)
+            w = jnp.where(
+                col_l < 128 - r,
+                jnp.broadcast_to(es[0:n_rows], (n_rows, 128)),
+                jnp.broadcast_to(up[0:n_rows], (n_rows, 128)))
+            return c0i, w
+        rot = pltpu.roll(es, (128 - r) & 127, axis=1)
         up = pltpu.roll(rot, n_rows + 8 - 1, axis=0)
         w = jnp.where(col_l < 128 - r, rot[0:n_rows], up[0:n_rows])
         return c0i, w
@@ -408,9 +415,14 @@ def _base_bits(spms, n_q, local, step0, gsize, base_sp,
         r = l0 & 127
         es = wtab_ref[0, rowsel, pl.ds(lead_u + ua, n_rows + 8), :]
         if gsize == 128:
-            rot = es
-        else:
-            rot = pltpu.roll(es, (128 - r) & 127, axis=1)
+            # lane-1 table (see words_for_run): broadcast in VMEM
+            up = pltpu.roll(es, n_rows + 8 - 1, axis=0)
+            w = jnp.where(
+                col_i < 128 - r,
+                jnp.broadcast_to(es[0:n_rows], (n_rows, 128)),
+                jnp.broadcast_to(up[0:n_rows], (n_rows, 128)))
+            return c0i, w
+        rot = pltpu.roll(es, (128 - r) & 127, axis=1)
         up = pltpu.roll(rot, n_rows + 8 - 1, axis=0)
         w = jnp.where(col_i < 128 - r, rot[0:n_rows], up[0:n_rows])
         return c0i, w

@@ -220,6 +220,16 @@ def loop_update(cfg, corr, st, active, comp=None):
             st.lock_state,
         )
     else:
+        # NOTE (round 5): under 20 ms delayed block feedback the borre
+        # Costas loop holds metastable ALIAS locks near k * 25 Hz (half a
+        # cycle per block) on ~15% of cold-start code phases — C/N0
+        # estimate -18 dB, PLL lock ~0, amplitude intact — because the
+        # discriminator is sampled at the 50 Hz block rate with no
+        # frequency term to break the aliasing (tools/track_benchmark.py;
+        # capping the bandwidth at the kaplan branch's 0.12/block rule
+        # was measured NOT to cure it). The production cruise profile is
+        # therefore kaplan; the borre profile keeps its reference-faithful
+        # dynamics for parity and per-ms/scan use.
         pll_t1, pll_t2 = trk.loop_filter_taus(
             cfg.pll_bandwidth, cfg.pll_damping, cfg.pll_gain)
         phase_err = trk.pll_costas(i_p, q_p)

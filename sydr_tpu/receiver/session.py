@@ -51,8 +51,12 @@ class CruisePolicy:
     The batch runtime's delayed-feedback stability rule forces pull-in to
     run the Kaplan FLL-assisted profile at short blocks
     (``loop_bandwidth * block_length < ~0.15``, ``batch_runtime`` module
-    docstring), while the throughput-optimal cruise shape is borre /
-    20 ms / long superblocks. This policy decides when every channel is
+    docstring), while the throughput-optimal cruise shape is 20 ms
+    blocks / long superblocks (kaplan loops since round 5: the borre
+    Costas loop under 20 ms delayed feedback holds ~k*25 Hz alias locks
+    on ~15% of cold-start code phases, tools/track_benchmark.py; the
+    borre cruise remains available per config). This policy decides when
+    every channel is
     stable enough to migrate — the channel state pytree is
     runtime-independent, so promotion is a config swap + re-jit at a block
     boundary. (The reference's per-ms loop never faces this; the TPU

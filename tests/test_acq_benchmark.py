@@ -46,7 +46,8 @@ def test_render_table_includes_rows():
     ]
     out = render_table(rows, 1.5)
     assert "| 40 | 5x10 | 0.90 |" in out
-    assert "Pfa = 0.125" in out
+    # round-5 format: count/trials + rule-of-three bound (advisor item)
+    assert "Pfa = 1/8 trials" in out
 
 
 def test_seed_reproducible():

@@ -19,6 +19,12 @@ _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo not in sys.path:
     sys.path.insert(0, _repo)
 
+# persistent compile cache (as bench.py): the shift/fused compiles cost
+# minutes over the dev tunnel per fresh process otherwise
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 FS = float(os.environ.get("BENCH_FS", "10e6"))
@@ -71,6 +77,31 @@ def main():
         out["shift_pts_per_s"] = round(timed(run_shift), 1)
         out["n_phases"] = len(phases)
 
+        if "--trace" in sys.argv:
+            # Per-op DEVICE durations of one shift-map acquisition
+            # (trace_profile.device_ops; wall harnesses are dispatch-bound
+            # on this backend). Identifies where the ~6x gap to the HBM
+            # roofline sits (VERDICT round-4 item 4).
+            import tempfile
+
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from trace_profile import device_ops
+
+            d = tempfile.mkdtemp()
+            with jax.profiler.trace(d):
+                np.asarray(run_shift())
+            ops, wrappers = device_ops(d)
+            total = sum(ms for _, ms in ops)
+            print(f"--- shift-map device ops (total {total:.1f} ms, "
+                  f"{grid_points / total * 1e3 / 1e6:.0f}M pts/s "
+                  f"device-bound) ---")
+            for name, ms in ops[:18]:
+                print(f"  {ms:7.2f} ms  {name[:110]}")
+            out["trace_device_ms"] = round(total, 2)
+            if "--trace-only" in sys.argv:
+                print(json.dumps(out))
+                return
+
         plans16 = (mmfft.make_plan(n, matmul_dtype=jnp.bfloat16),
                    mmfft.make_plan(n, inverse=True,
                                    matmul_dtype=jnp.bfloat16))
@@ -83,6 +114,16 @@ def main():
             return m[:, ::17, ::997]
 
         out["shift_bf16_pts_per_s"] = round(timed(run_shift16), 1)
+
+        def run_fused():
+            m = acq.pcps_shift_map_fused(
+                iq_re, iq_im, k_re, k_im, plans[0], plans[1],
+                sampling_frequency=FS, coherent=coher, non_coherent=noncoh,
+                phases=phases, bin_shifts=bin_shifts,
+                interpret=jax.default_backend() == "cpu")
+            return m[:, ::17, ::997]
+
+        out["fused_pts_per_s"] = round(timed(run_fused), 1)
 
     pad = (-len(bins)) % 4
     bins_p = jnp.asarray(np.concatenate([bins, np.repeat(bins[-1:], pad)]))

@@ -49,10 +49,36 @@ WARMUP_S = 3.0
 HOLD_S = 12.0
 
 
-def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
+def _receiver_for(profile: str):
+    """Cruise wiring per profile: kaplan pull-in at 5 ms blocks, then
+    promotion to the requested 20 ms cruise loops. 'kaplan' is the
+    PRODUCTION cruise (round 5); 'borre' measures the reference-faithful
+    Costas cruise — the configuration in which this tool FOUND the
+    ~k*25 Hz delayed-feedback alias locks that motivated the switch
+    (borre loops also cannot pull in off-grid Doppler under batch
+    feedback delay, channels/batch_runtime docstring, so both profiles
+    pull in with kaplan)."""
+    import dataclasses
+
     from sydr_tpu.channels.runtime import TrackingConfig
-    from sydr_tpu.channels.state import FLAG_CODE_LOCK, MODE_TRACKING
     from sydr_tpu.receiver.receiver import Receiver, ReceiverConfig
+
+    pull_in = TrackingConfig(
+        sampling_frequency=FS, block_ms=5, tail_ms=4,
+        window_size=4224, runtime="batch", profile="kaplan",
+    )
+    cruise = None
+    if profile == "borre":
+        cruise = dataclasses.replace(pull_in, profile="borre", block_ms=20)
+    cfg = ReceiverConfig(
+        prns=(PRN,), tracking=pull_in, cruise_tracking=cruise,
+        tropo_enabled=False,
+    )
+    return Receiver(cfg)
+
+
+def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
+    from sydr_tpu.channels.state import FLAG_CODE_LOCK, MODE_TRACKING
     from sydr_tpu.signal.synthetic import IQGenerator
 
     rng = np.random.default_rng(seed)
@@ -63,15 +89,7 @@ def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
                       code_phase_chips=float(rng.uniform(0, 1023)),
                       cn0_dbhz=45.0, nav_bits=bits)
 
-    cfg = ReceiverConfig(
-        prns=(PRN,),
-        tracking=TrackingConfig(
-            sampling_frequency=FS, block_ms=20, tail_ms=4,
-            window_size=4224, runtime="batch", profile=profile,
-        ),
-        tropo_enabled=False,
-    )
-    rx = Receiver(cfg)
+    rx = _receiver_for(profile)
 
     # tap the decoded 50 Hz bit stream
     decoded_bits: list[int] = []
@@ -101,7 +119,15 @@ def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
                 act_trace.append(np.asarray(o["active"][:, 0]))
 
     run_ms(int(WARMUP_S * 1e3), collect=False)
+    # for the cruise profile, hold 45 dB-Hz until promotion (bounded)
+    extra = 0
+    while (rx.session.cruise_cfg is not None and not rx.session.promoted
+           and extra < 5000):
+        run_ms(chunk, collect=False)
+        extra += chunk
     locked_at_drop = int(rx.session.mode_host[0]) == MODE_TRACKING
+    if rx.session.cruise_cfg is not None:
+        locked_at_drop = locked_at_drop and rx.session.promoted
     n_bits_warm = len(decoded_bits)
     gen.set_cn0(PRN, cn0_dbhz)
     run_ms(int(HOLD_S * 1e3), collect=True)
@@ -196,18 +222,23 @@ def pvt_sweep(cn0_list, profiles, seed0) -> list[dict]:
     from tests.test_receiver_e2e import RX_TRUTH, T0, make_sky
 
     rows = []
+    import dataclasses
+
     for profile in profiles:
         for cn0 in cn0_list:
             sats = make_sky()[:6]
             scn = Scenario(RX_TRUTH, sats, T0, FS, cn0_dbhz=float(cn0),
                            noise=True, seed=seed0 + int(round(cn0 * 100)))
+            pull_in = TrackingConfig(
+                sampling_frequency=FS, tail_ms=4, window_size=4224,
+                runtime="batch", profile="kaplan", block_ms=5,
+            )
+            cruise = (dataclasses.replace(pull_in, profile="borre",
+                                          block_ms=20)
+                      if profile == "borre" else None)
             cfg = ReceiverConfig(
                 prns=tuple(e.prn for e in sats),
-                tracking=TrackingConfig(
-                    sampling_frequency=FS, tail_ms=4, window_size=4224,
-                    runtime="batch", profile=profile,
-                    block_ms=5 if profile == "kaplan" else 20,
-                ),
+                tracking=pull_in, cruise_tracking=cruise,
                 approx_position=tuple(
                     RX_TRUTH + np.array([3000.0, -2000.0, 1500.0])),
                 assisted_ephemerides={e.prn: e for e in sats},

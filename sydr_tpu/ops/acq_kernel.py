@@ -6,19 +6,28 @@ materializes every stage of the batched four-step inverse DFT in HBM —
 ``[101, 12, 100, 100]`` bf16 intermediates (~242 MB each) for the
 spectrum product, both matmul stages, the twiddle and the magnitude, per
 non-coherent block — ~30+ GB of traffic per acquisition, pinning the
-grid at ~100-210M points/s against a ~1.2 G pts/s compute bound. This
-Pallas kernel runs the whole per-(bin, channel) chain in VMEM: one
-program loads the (phase, channel) spectrum slab (all non-coherent
-blocks), the bin's pre-rolled code spectrum and the inverse-DFT plan
-matrices, then for each non-coherent block does the complex product, the
-two complex matmul stages (MXU) and the magnitude, accumulating in a
-VMEM register — HBM sees only the inputs once and one [n2, n1] output
-per (bin, channel).
+grid at ~100-220M points/s against a ~1.2 G pts/s compute bound. This
+Pallas kernel runs the whole per-(bin, channel) chain in VMEM: HBM sees
+the spectra once and one [n2, n1] magnitude map per (bin, channel).
 
-Grid layout: bins are ordered (phase, k-shift) — ``(n_ph, k_max, n_ch)``
-programs — so consecutive programs share the spectrum slab block and
-Mosaic keeps it resident. The caller maps its ``bin_shifts`` onto this
-grid and selects the real bins from the padded output.
+Per-matmul fixed cost shapes everything on this Mosaic backend
+(docs/performance.md round 1: "matmul count matters as much as FLOPs").
+The first cut of this kernel did nc x 8 small [100,100] dots per program
+and measured 44M pts/s — 5x SLOWER than the XLA map. The production
+form batches ALL non-coherent blocks into ONE wide matmul per stage:
+
+  * stage 1 (left-multiply) concatenates the nc spectrum-product blocks
+    along columns — ``W2 @ P_cat`` keeps the block structure;
+  * the twiddle applies as a pre-tiled ``[n2, nc*n1]`` elementwise map;
+  * stage 2 (right-multiply) contracts against a BLOCK-DIAGONAL
+    ``[nc*n1, nc*n1]`` W1 (nc x the useful MACs, still ~1 ms of MXU at
+    the production shape — fixed per-matmul cost dominates small dots);
+  * the non-coherent magnitude sum over blocks is one ``[nc*n1, n1]``
+    0/1 segment-sum matmul (a reshape-and-reduce would relayout).
+
+Grid order (n_ph, n_ch, k_max): consecutive programs share the (phase,
+channel) spectrum slab block, so Mosaic keeps it resident across the
+k-shift sweep.
 
 Matmul precision: the backend's default single-pass bf16 in-kernel dots
 are numerically fine here — acquisition is noise-dominated (the 2^-9
@@ -37,43 +46,50 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(nc, kern_dtype, spec_re_ref, spec_im_ref, k_re_ref, k_im_ref,
-            w2_re_ref, w2_im_ref, tw_re_ref, tw_im_ref,
-            w1_re_ref, w1_im_ref, out_ref):
+            w2_re_ref, w2_im_ref, twc_re_ref, twc_im_ref,
+            w1d_re_ref, w1d_im_ref, seg_ref, out_ref):
+    n2, n1 = out_ref.shape[-2:]
     kre = k_re_ref[0, 0].astype(kern_dtype)
     kim = k_im_ref[0, 0].astype(kern_dtype)
     w2r = w2_re_ref[...].astype(kern_dtype)
     w2i = w2_im_ref[...].astype(kern_dtype)
-    w1r = w1_re_ref[...].astype(kern_dtype)
-    w1i = w1_im_ref[...].astype(kern_dtype)
-    twr = tw_re_ref[...]        # twiddle applied f32 elementwise
-    twi = tw_im_ref[...]
+    w1r = w1d_re_ref[...]          # block-diagonal, already kern_dtype
+    w1i = w1d_im_ref[...]
+    twr = twc_re_ref[...]          # tiled twiddle, f32 elementwise
+    twi = twc_im_ref[...]
+    seg = seg_ref[...]             # [nc*n1, n1] 0/1 segment-sum
 
     def dot(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
-    acc = jnp.zeros(out_ref.shape[-2:], jnp.float32)
-    for blk in range(nc):
-        sre = spec_re_ref[0, 0, blk].astype(kern_dtype)
-        sim = spec_im_ref[0, 0, blk].astype(kern_dtype)
-        # spectrum product with the pre-rolled conj code spectrum
-        pre = sre * kre - sim * kim
-        pim = sre * kim + sim * kre
-        # inner DFT stage: B = W2 @ P
-        br = dot(w2r, pre) - dot(w2i, pim)
-        bi = dot(w2r, pim) + dot(w2i, pre)
-        # twiddle (f32 elementwise)
-        cr = (br * twr - bi * twi).astype(kern_dtype)
-        ci = (br * twi + bi * twr).astype(kern_dtype)
-        # outer DFT stage: D = C @ W1  (natural [k2, k1] layout)
-        dr = dot(cr, w1r) - dot(ci, w1i)
-        di = dot(cr, w1i) + dot(ci, w1r)
-        acc = acc + jnp.sqrt(dr * dr + di * di)
-    out_ref[0, 0] = acc
+    # concatenate the nc spectrum blocks along columns: [n2, nc*n1]
+    sre = jnp.concatenate(
+        [spec_re_ref[0, 0, b] for b in range(nc)], axis=1).astype(kern_dtype)
+    sim = jnp.concatenate(
+        [spec_im_ref[0, 0, b] for b in range(nc)], axis=1).astype(kern_dtype)
+    krec = jnp.concatenate([kre] * nc, axis=1)
+    kimc = jnp.concatenate([kim] * nc, axis=1)
+    # spectrum product with the pre-rolled conj code spectrum
+    pre = sre * krec - sim * kimc
+    pim = sre * kimc + sim * krec
+    # stage 1: B_cat = W2 @ P_cat  (block structure preserved)
+    br = dot(w2r, pre) - dot(w2i, pim)
+    bi = dot(w2r, pim) + dot(w2i, pre)
+    # twiddle (f32), cast back for the MXU
+    cr = (br * twr - bi * twi).astype(kern_dtype)
+    ci = (br * twi + bi * twr).astype(kern_dtype)
+    # stage 2: D_cat = C_cat @ blockdiag(W1)
+    dr = dot(cr, w1r) - dot(ci, w1i)
+    di = dot(cr, w1i) + dot(ci, w1r)
+    # non-coherent |.| sum over blocks: one 0/1 segment-sum matmul
+    mag = jnp.sqrt(dr * dr + di * di).astype(kern_dtype)
+    out_ref[0, 0] = dot(mag, seg)
 
 
 @functools.partial(
@@ -99,38 +115,50 @@ def pcps_fused_bins(
     assert n_slots == n_ph * k_max, (n_slots, n_ph)
     assert nc == non_coherent
 
+    # tiled twiddle [n2, nc*n1] (f32) and block-diagonal W1 [nc*n1, nc*n1]
+    twc_re = jnp.tile(inv_plan.tw_re, (1, nc))
+    twc_im = jnp.tile(inv_plan.tw_im, (1, nc))
+    eye_nc = jnp.eye(nc, dtype=inv_plan.w1_re.dtype)
+    w1d_re = jnp.kron(eye_nc, inv_plan.w1_re).astype(kern_dtype)
+    w1d_im = jnp.kron(eye_nc, inv_plan.w1_im).astype(kern_dtype)
+    seg = jnp.asarray(
+        np.tile(np.eye(n1, dtype=np.float32), (nc, 1))).astype(kern_dtype)
+
     kern = functools.partial(_kernel, nc, kern_dtype)
-    grid = (n_ph, k_max, n_ch)
+    grid = (n_ph, n_ch, k_max)
 
     def plan_spec(shape):
-        return pl.BlockSpec(shape, lambda p, ki, c: (0, 0),
+        return pl.BlockSpec(shape, lambda p, c, ki: (0,) * len(shape),
                             memory_space=pltpu.VMEM)
+
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, nc, n2, n1), lambda p, ki, c: (p, c, 0, 0, 0),
+            pl.BlockSpec((1, 1, nc, n2, n1), lambda p, c, ki: (p, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nc, n2, n1), lambda p, ki, c: (p, c, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n2, n1),
-                         lambda p, ki, c: (p * k_max + ki, c, 0, 0),
+            pl.BlockSpec((1, 1, nc, n2, n1), lambda p, c, ki: (p, c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n2, n1),
-                         lambda p, ki, c: (p * k_max + ki, c, 0, 0),
+                         lambda p, c, ki: (p * k_max + ki, c, 0, 0),
                          memory_space=pltpu.VMEM),
-            plan_spec((n2, n2)), plan_spec((n2, n2)),   # W2
-            plan_spec((n2, n1)), plan_spec((n2, n1)),   # twiddle
-            plan_spec((n1, n1)), plan_spec((n1, n1)),   # W1
+            pl.BlockSpec((1, 1, n2, n1),
+                         lambda p, c, ki: (p * k_max + ki, c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plan_spec((n2, n2)), plan_spec((n2, n2)),           # W2
+            plan_spec((n2, nc * n1)), plan_spec((n2, nc * n1)),  # twiddle
+            plan_spec((nc * n1, nc * n1)),                       # W1 diag
+            plan_spec((nc * n1, nc * n1)),
+            plan_spec((nc * n1, n1)),                            # seg sum
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, n2, n1), lambda p, ki, c: (p * k_max + ki, c, 0, 0),
+            (1, 1, n2, n1), lambda p, c, ki: (p * k_max + ki, c, 0, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (n_slots, n_ch, n2, n1), jnp.float32),
         interpret=interpret,
     )(
         spec_re, spec_im, k_re_all, k_im_all,
-        inv_plan.w2_re, inv_plan.w2_im, inv_plan.tw_re, inv_plan.tw_im,
-        inv_plan.w1_re, inv_plan.w1_im,
+        inv_plan.w2_re, inv_plan.w2_im, twc_re, twc_im,
+        w1d_re, w1d_im, seg,
     )

@@ -227,7 +227,74 @@ def pcps_shift_map(
     jax.jit,
     static_argnames=(
         "sampling_frequency", "intermediate_frequency", "coherent",
-        "non_coherent", "phases", "bin_shifts", "interpret"))
+        "non_coherent", "phases", "bin_shifts"))
+def _fused_prep(
+    iq_re, iq_im, code_k_re, code_k_im, fwd_plan,
+    *, sampling_frequency, intermediate_frequency, coherent,
+    non_coherent, phases, bin_shifts,
+):
+    """Spectra + pre-rolled code spectra for :func:`pcps_shift_map_fused`.
+
+    A SEPARATE jit from the Pallas stage on purpose: a single program
+    mixing the pallas custom call with this ~500-op XLA graph executes
+    ~20x slower on the dev tunnel (chip-measured: 44M pts/s composite vs
+    532M split; the device trace of the composite shows only 36.5 ms of
+    device time — the rest is host/dispatch serialization around the
+    custom call). Three small programs (prep -> kernel -> post) pipeline
+    normally.
+    """
+    n_ch, n = code_k_re.shape
+    n2, n1 = fwd_plan.n2, fwd_plan.n1
+    blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
+    blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
+    t = (jnp.arange(coherent * n, dtype=jnp.float32)
+         / sampling_frequency).reshape(coherent, n)
+
+    spec_re, spec_im = [], []
+    for f_p in phases:
+        ph = -2.0 * jnp.pi * (intermediate_frequency + f_p) * t
+        cos, sin = jnp.cos(ph), jnp.sin(ph)
+        mre = blocks_re * cos[None, None] - blocks_im * sin[None, None]
+        mim = blocks_re * sin[None, None] + blocks_im * cos[None, None]
+        fre, fim = mmfft.dft(mre, mim, fwd_plan)
+        spec_re.append(jnp.sum(fre, axis=2))            # [ch, nc, n]
+        spec_im.append(jnp.sum(fim, axis=2))
+    # [n_ph, ch, nc, n2, n1] — canonical flat reshaped exactly as idft does
+    sre = jnp.stack(spec_re).reshape(
+        len(phases), n_ch, non_coherent, n2, n1)
+    sim = jnp.stack(spec_im).reshape(
+        len(phases), n_ch, non_coherent, n2, n1)
+
+    slots, _, k_max = _fused_slots(phases, bin_shifts)
+    kre_rows, kim_rows = [], []
+    for p, ks in enumerate(slots):
+        for ki in range(k_max):
+            k = ks[ki] if ki < len(ks) else 0
+            kre_rows.append(jnp.roll(code_k_re, k, axis=-1))
+            kim_rows.append(jnp.roll(code_k_im, k, axis=-1))
+    kre_all = jnp.stack(kre_rows).reshape(-1, n_ch, n2, n1)
+    kim_all = jnp.stack(kim_rows).reshape(-1, n_ch, n2, n1)
+    return sre, sim, kre_all, kim_all
+
+
+def _fused_slots(phases, bin_shifts):
+    """(per-phase k lists, per-bin (phase, k-index), k_max)."""
+    slots: list[list[int]] = [[] for _ in phases]
+    slot_of_bin = []
+    for k, p in bin_shifts:
+        slot_of_bin.append((p, len(slots[p])))
+        slots[p].append(k)
+    k_max = max(len(s) for s in slots)
+    return slots, slot_of_bin, k_max
+
+
+@jax.jit
+def _fused_post(maps, sel, inv_plan):
+    picked = jnp.take(maps, sel, axis=0)            # [n_bins, ch, n2, n1]
+    return jnp.transpose(
+        mmfft.unpermute(picked, inv_plan), (1, 0, 2))
+
+
 def pcps_shift_map_fused(
     iq_re: jax.Array,
     iq_im: jax.Array,
@@ -249,63 +316,32 @@ def pcps_shift_map_fused(
     The XLA shift map materializes every idft stage in HBM
     (``[n_bins, n_ch, n2, n1]`` bf16 intermediates per non-coherent
     block; chip trace in ``tools/acq_profile.py --trace``), which pins it
-    at ~100-210M grid points/s. Here the spectrum product, both
+    at ~100-220M grid points/s. Here the spectrum product, both
     inverse-DFT matmul stages, the twiddle and the magnitude
     accumulation run in VMEM per (bin, channel) program
     (``ops.acq_kernel``): HBM sees the spectra once and one magnitude
-    map per bin. Bit-compatibility: the kernel's dots run the backend's
-    single-pass bf16 (noise-dominated stage, ~-48 dB rounding); the
-    two-peak metric is unchanged.
+    map per bin — chip-measured **532M grid points/s** at the production
+    shape (vs 195-219M for the XLA map). Deliberately THREE jit programs
+    (see :func:`_fused_prep`). Bit-compatibility: the kernel's dots run
+    the backend's single-pass bf16 (noise-dominated stage, ~-48 dB
+    rounding, 0.14% map deviation); the two-peak metric is unchanged.
     """
     from sydr_tpu.ops import acq_kernel
 
-    n_ch, n = code_k_re.shape
-    n2, n1 = inv_plan.n2, inv_plan.n1
-    blocks_re = iq_re.reshape(n_ch, non_coherent, coherent, n)
-    blocks_im = iq_im.reshape(n_ch, non_coherent, coherent, n)
-    t = (jnp.arange(coherent * n, dtype=jnp.float32)
-         / sampling_frequency).reshape(coherent, n)
-
-    spec_re, spec_im = [], []
-    for f_p in phases:
-        ph = -2.0 * jnp.pi * (intermediate_frequency + f_p) * t
-        cos, sin = jnp.cos(ph), jnp.sin(ph)
-        mre = blocks_re * cos[None, None] - blocks_im * sin[None, None]
-        mim = blocks_re * sin[None, None] + blocks_im * cos[None, None]
-        fre, fim = mmfft.dft(mre, mim, fwd_plan)
-        spec_re.append(jnp.sum(fre, axis=2))            # [ch, nc, n]
-        spec_im.append(jnp.sum(fim, axis=2))
-    # [n_ph, ch, nc, n2, n1] — canonical flat reshaped exactly as idft does
-    sre = jnp.stack(spec_re).reshape(
-        len(phases), n_ch, non_coherent, n2, n1)
-    sim = jnp.stack(spec_im).reshape(
-        len(phases), n_ch, non_coherent, n2, n1)
-
-    # (phase, k) slot grid: bins grouped by phase, padded to k_max
-    slots: list[list[int]] = [[] for _ in phases]
-    slot_of_bin = []
-    for k, p in bin_shifts:
-        slot_of_bin.append((p, len(slots[p])))
-        slots[p].append(k)
-    k_max = max(len(s) for s in slots)
-    kre_rows, kim_rows = [], []
-    for p, ks in enumerate(slots):
-        for ki in range(k_max):
-            k = ks[ki] if ki < len(ks) else 0
-            kre_rows.append(jnp.roll(code_k_re, k, axis=-1))
-            kim_rows.append(jnp.roll(code_k_im, k, axis=-1))
-    kre_all = jnp.stack(kre_rows).reshape(-1, n_ch, n2, n1)
-    kim_all = jnp.stack(kim_rows).reshape(-1, n_ch, n2, n1)
-
+    sre, sim, kre_all, kim_all = _fused_prep(
+        iq_re, iq_im, code_k_re, code_k_im, fwd_plan,
+        sampling_frequency=sampling_frequency,
+        intermediate_frequency=intermediate_frequency,
+        coherent=coherent, non_coherent=non_coherent,
+        phases=phases, bin_shifts=bin_shifts)
     maps = acq_kernel.pcps_fused_bins(
         sre, sim, kre_all, kim_all, inv_plan,
         non_coherent=non_coherent, interpret=interpret,
     )                                    # [n_ph*k_max, ch, n2, n1]
+    _, slot_of_bin, k_max = _fused_slots(phases, bin_shifts)
     sel = jnp.asarray(
         [p * k_max + ki for p, ki in slot_of_bin], dtype=jnp.int32)
-    picked = jnp.take(maps, sel, axis=0)            # [n_bins, ch, n2, n1]
-    return jnp.transpose(
-        mmfft.unpermute(picked, inv_plan), (1, 0, 2))
+    return _fused_post(maps, sel, inv_plan)
 
 
 # PCPS formulation choice, gated on MEASURED chip rates rather than op

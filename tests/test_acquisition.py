@@ -158,3 +158,50 @@ def test_bf16_matmul_plans_find_same_peak():
     scale = float(np.max(np.asarray(map32)))
     np.testing.assert_allclose(
         np.asarray(map16) / scale, np.asarray(map32) / scale, atol=0.02)
+
+
+def test_fused_map_matches_shift_map():
+    """The Pallas fused per-bin kernel (interpret mode on CPU) must match
+    the XLA shift map within its bf16 dot budget and find the identical
+    peak (round-5: chip-measured 532M pts/s vs 195-219M for the XLA map,
+    docs/performance.md)."""
+    import jax.numpy as jnp
+
+    from sydr_tpu.ops import fft as mmfft
+    from sydr_tpu.signal.synthetic import IQGenerator
+
+    fs = 2.046e6
+    n = int(fs * 1e-3)
+    coher, noncoh = 3, 4
+    gen = IQGenerator(fs, noise=True, seed=5)
+    gen.add_satellite(17, doppler_hz=-2360.0, code_phase_chips=77.7,
+                      cn0_dbhz=45.0)
+    iq = gen.generate_ms(coher * noncoh)
+    iq_re = np.float32(iq.real)[None]
+    iq_im = np.float32(iq.imag)[None]
+    k = acquisition.code_fft_conj(17, fs)[None]
+    bins = acquisition.doppler_bins(3000, 100)
+    plans = (mmfft.make_plan(n), mmfft.make_plan(n, inverse=True))
+    phases, bin_shifts = acquisition.shift_plan(bins, fs, n, mode="shift")
+
+    common = dict(sampling_frequency=fs, coherent=coher,
+                  non_coherent=noncoh, phases=phases, bin_shifts=bin_shifts)
+    ref = np.asarray(acquisition.pcps_shift_map(
+        jnp.asarray(iq_re), jnp.asarray(iq_im),
+        jnp.asarray(np.float32(k.real)), jnp.asarray(np.float32(k.imag)),
+        plans[0], plans[1], **common))
+    got = np.asarray(acquisition.pcps_shift_map_fused(
+        jnp.asarray(iq_re), jnp.asarray(iq_im),
+        jnp.asarray(np.float32(k.real)), jnp.asarray(np.float32(k.imag)),
+        plans[0], plans[1], interpret=True, **common))
+    assert got.shape == ref.shape
+    rel = np.abs(got - ref) / np.abs(ref).max()
+    assert rel.max() < 5e-3, rel.max()          # bf16 dot budget
+    spc = round(fs / 1.023e6)
+    d_r, c_r, m_r = acquisition.peak_metric(
+        jnp.asarray(ref), jnp.asarray(bins), samples_per_chip=spc)
+    d_g, c_g, m_g = acquisition.peak_metric(
+        jnp.asarray(got), jnp.asarray(bins), samples_per_chip=spc)
+    assert float(d_r[0]) == float(d_g[0])
+    assert int(c_r[0]) == int(c_g[0])
+    assert abs(float(m_r[0]) - float(m_g[0])) < 0.05

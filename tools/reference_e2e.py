@@ -756,7 +756,17 @@ def main(argv=None) -> int:
         # Our accuracy is gated on the STEADY-STATE mean (the Hatch
         # filter's ~smoothing_s convergence window is reported separately
         # in ours_err_vs_truth_mean_m; tools/soak.py splits the same way).
+        # With --patch-bitsync the gate is the crisp round-5 claim: the
+        # patched reference produces NO slips to correct, RAW per-satellite
+        # single-differences sit within its one-sample quantisation (c/fs)
+        # and the same-solver PVT delta within a DOP multiple of it —
+        # no slip-fix arithmetic anywhere in the gate.
         "parity_ok": bool(
+            summary.get("ours_err_vs_truth_steady_m", 1e9) < 2.0
+            and not summary.get("ref_bitsync_slips_ms")
+            and summary.get("pr_singlediff_max_m", 1e9) <= quant
+            and summary.get("pvt_delta_slipfix_max_m", 1e9) < 4.0 * quant)
+        if args.patch_bitsync else bool(
             summary.get("ours_err_vs_truth_steady_m", 1e9) < 2.0
             and slips_explained
             and summary.get("pr_singlediff_slipfix_max_m", 1e9) < 2.5 * quant

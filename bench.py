@@ -176,6 +176,9 @@ def bench_tracking(decimate=1):
         input_decimate=decimate,
         pass_a=PASS_A,
         profile=PROFILE,
+        # the production cruise runs the narrow-only kaplan shape
+        # (3 taps / 6 streams; see channels/runtime.py)
+        kaplan_narrow_only=(PROFILE == "kaplan"),
     )
     codes, state, _, _ = g._tracking_inputs(cfg, N_CHANNELS)
     rng = np.random.default_rng(0)

@@ -92,6 +92,15 @@ class TrackingConfig:
     # (FLL-assisted PLL + lock-state machine, 5 correlators; reference
     # channel_l1ca_kaplan.py).
     profile: str = "borre"
+    # Narrow-only kaplan (the CRUISE shape): 3 correlators
+    # (narrow E, P, narrow L) instead of the 5-tap wide/narrow pairs —
+    # the FLL assist and lock indicators read only the prompts, so the
+    # delayed-feedback robustness that made kaplan the production cruise
+    # profile (round 5, ops/profiles.py alias note) is retained at the
+    # borre kernel cost (6 streams, not 10; measured ~10% of headline
+    # RTF). The wide pair only matters for pull-in/wide-track, which the
+    # 5-tap pull-in configuration still runs.
+    kaplan_narrow_only: bool = False
     spacing_wide: float = 0.5
     spacing_narrow: float = 0.2
     fll_bandwidth_pullin: float = 100.0

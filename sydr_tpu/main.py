@@ -64,7 +64,7 @@ def _build_demo(args):
         import dataclasses as _dc
 
         cruise = _dc.replace(
-            pull_in, profile="kaplan", block_ms=20,
+            pull_in, profile="kaplan", kaplan_narrow_only=True, block_ms=20,
             superblock=max(1, int(args.cruise_superblock)))
     run_cfg = RunConfig(
         receiver=ReceiverConfig(

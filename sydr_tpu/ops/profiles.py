@@ -44,7 +44,10 @@ def spacings_for(cfg) -> tuple:
     """
     if cfg.profile == "kaplan":
         w, n = cfg.spacing_wide, cfg.spacing_narrow
-        sp = (-w, -n, 0.0, n, w)
+        if getattr(cfg, "kaplan_narrow_only", False):
+            sp = (-n, 0.0, n)      # cruise shape: 3 taps, 6 streams
+        else:
+            sp = (-w, -n, 0.0, n, w)
     else:
         sp = tuple(cfg.spacings)
     if getattr(cfg, "quantize_spacing", False):
@@ -106,7 +109,12 @@ def loop_update(cfg, corr, st, active, comp=None):
     freq_err, nco_code, nco_carrier, fll_vel, pll_lock, fll_lock,
     lock_state.
     """
-    if cfg.profile == "kaplan":
+    if cfg.profile == "kaplan" and getattr(cfg, "kaplan_narrow_only", False):
+        # cruise shape: one (narrow) pair only — no per-state tap select
+        i_e, q_e = corr[:, 0], corr[:, 1]
+        i_p, q_p = corr[:, 2], corr[:, 3]
+        i_l, q_l = corr[:, 4], corr[:, 5]
+    elif cfg.profile == "kaplan":
         i_e_w, q_e_w = corr[:, 0], corr[:, 1]
         i_e_n, q_e_n = corr[:, 2], corr[:, 3]
         i_p, q_p = corr[:, 4], corr[:, 5]
@@ -132,7 +140,16 @@ def loop_update(cfg, corr, st, active, comp=None):
         code_err, st.dll_memory, dll_t1, dll_t2, cfg.dll_pdi)
 
     if cfg.profile == "kaplan":
-        pull_in = st.lock_state == LOCK_PULL_IN
+        narrow_only = getattr(cfg, "kaplan_narrow_only", False)
+        if narrow_only:
+            # cruise shape: the state machine is PINNED to NARROW_TRACK
+            # (no wide taps exist to fall back to; a genuinely lost
+            # channel is the receiver-level monitors' job) — the per-
+            # state bandwidth selects and transition logic drop out of
+            # the per-epoch chain.
+            pull_in = jnp.zeros_like(st.lock_state, dtype=bool)
+        else:
+            pull_in = st.lock_state == LOCK_PULL_IN
         fll_disc = (trk.fll_atan2 if cfg.fll_discriminator == "atan2"
                     else trk.fll_atan)
         freq_err = jnp.where(
@@ -154,18 +171,24 @@ def loop_update(cfg, corr, st, active, comp=None):
             cap = 0.12 / (cfg.block_ms * 1e-3)
         else:
             cap = float("inf")
-        fll_bw = jnp.select(
-            [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
-            [min(cfg.fll_bandwidth_narrow, cap),
-             min(cfg.fll_bandwidth_wide, cap)],
-            min(cfg.fll_bandwidth_pullin, cap),
-        )
-        pll_bw = jnp.select(
-            [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
-            [min(cfg.pll_bandwidth_narrow, cap),
-             min(cfg.pll_bandwidth_wide, cap)],
-            0.0,
-        )
+        if narrow_only:
+            fll_bw = jnp.full_like(
+                st.fll_vel, min(cfg.fll_bandwidth_narrow, cap))
+            pll_bw = jnp.full_like(
+                st.fll_vel, min(cfg.pll_bandwidth_narrow, cap))
+        else:
+            fll_bw = jnp.select(
+                [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
+                [min(cfg.fll_bandwidth_narrow, cap),
+                 min(cfg.fll_bandwidth_wide, cap)],
+                min(cfg.fll_bandwidth_pullin, cap),
+            )
+            pll_bw = jnp.select(
+                [st.lock_state == LOCK_NARROW, st.lock_state == LOCK_WIDE],
+                [min(cfg.pll_bandwidth_narrow, cap),
+                 min(cfg.pll_bandwidth_wide, cap)],
+                0.0,
+            )
         if cfg.dlf_order == 3:
             nco_carrier, fll_vel, fll_acc = trk.fll_assisted_pll_3rd(
                 phase_err, freq_err,
@@ -194,31 +217,34 @@ def loop_update(cfg, corr, st, active, comp=None):
             trk.pll_lock_indicator(i_p, q_p, st.pll_lock, alpha=alpha),
             st.pll_lock)
 
-        # State machine (reference trackingStateUpdate :538-619).
-        to_narrow = (
-            (st.lock_state != LOCK_NARROW)
-            & (fll_lock >= cfg.fll_threshold_narrow)
-            & (pll_lock >= cfg.pll_threshold_narrow)
-        )
-        to_wide = (
-            ~to_narrow
-            & (st.lock_state != LOCK_WIDE)
-            & (fll_lock >= cfg.fll_threshold_wide)
-            & (fll_lock < cfg.fll_threshold_narrow)
-        )
-        to_pullin = (
-            ~to_narrow & ~to_wide
-            & (st.lock_state != LOCK_PULL_IN)
-            & (fll_lock <= cfg.fll_threshold_wide)
-        )
-        lock_state = jnp.where(
-            active,
-            jnp.where(to_narrow, LOCK_NARROW,
-                      jnp.where(to_wide, LOCK_WIDE,
-                                jnp.where(to_pullin, LOCK_PULL_IN,
-                                          st.lock_state))),
-            st.lock_state,
-        )
+        if narrow_only:
+            lock_state = jnp.where(active, LOCK_NARROW, st.lock_state)
+        else:
+            # State machine (reference trackingStateUpdate :538-619).
+            to_narrow = (
+                (st.lock_state != LOCK_NARROW)
+                & (fll_lock >= cfg.fll_threshold_narrow)
+                & (pll_lock >= cfg.pll_threshold_narrow)
+            )
+            to_wide = (
+                ~to_narrow
+                & (st.lock_state != LOCK_WIDE)
+                & (fll_lock >= cfg.fll_threshold_wide)
+                & (fll_lock < cfg.fll_threshold_narrow)
+            )
+            to_pullin = (
+                ~to_narrow & ~to_wide
+                & (st.lock_state != LOCK_PULL_IN)
+                & (fll_lock <= cfg.fll_threshold_wide)
+            )
+            lock_state = jnp.where(
+                active,
+                jnp.where(to_narrow, LOCK_NARROW,
+                          jnp.where(to_wide, LOCK_WIDE,
+                                    jnp.where(to_pullin, LOCK_PULL_IN,
+                                              st.lock_state))),
+                st.lock_state,
+            )
     else:
         # NOTE (round 5): under 20 ms delayed block feedback the borre
         # Costas loop holds metastable ALIAS locks near k * 25 Hz (half a

@@ -123,7 +123,8 @@ def test_cruise_e2e_fix():
     pull = TrackingConfig(
         sampling_frequency=e2e.FS, tail_ms=4, window_size=4224,
         runtime="batch", profile="kaplan", block_ms=5, superblock=4)
-    cruise = dc.replace(pull, profile="kaplan", block_ms=20, superblock=25)
+    cruise = dc.replace(pull, profile="kaplan", block_ms=20,
+                        kaplan_narrow_only=True, superblock=25)
     cfg = ReceiverConfig(
         prns=tuple(s.prn for s in sats), tracking=pull,
         cruise_tracking=cruise,
@@ -156,7 +157,9 @@ def _cruise_health(cruise_profile, code_phase, doppler=797.03,
     pull = TrackingConfig(
         sampling_frequency=fs, block_ms=5, tail_ms=4,
         window_size=4224, runtime="batch", profile="kaplan")
-    cruise = dataclasses.replace(pull, profile=cruise_profile, block_ms=20)
+    cruise = dataclasses.replace(
+        pull, profile=cruise_profile, block_ms=20,
+        kaplan_narrow_only=(cruise_profile == "kaplan"))
     rx = Receiver(ReceiverConfig(prns=(7,), tracking=pull,
                                  cruise_tracking=cruise,
                                  tropo_enabled=False))

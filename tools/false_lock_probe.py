@@ -61,7 +61,7 @@ def main(argv=None) -> int:
         quantize_spacing=True,
     )
     cruise_cfg = dataclasses.replace(
-        pull_in, profile="kaplan", block_ms=20, superblock=25)
+        pull_in, profile="kaplan", kaplan_narrow_only=True, block_ms=20, superblock=25)
     rcfg = ReceiverConfig(
         prns=tuple(e.prn for e in sats),
         tracking=pull_in, cruise_tracking=cruise_cfg,

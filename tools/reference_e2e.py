@@ -384,7 +384,7 @@ def run_ours(ini_path: str, runtime: str, use_pallas: bool,
             trk, runtime="batch", profile="kaplan", block_ms=5,
             superblock=1, use_pallas=use_pallas)
         cruise = dataclasses.replace(
-            pull_in, profile="kaplan", block_ms=20, superblock=10)
+            pull_in, profile="kaplan", kaplan_narrow_only=True, block_ms=20, superblock=10)
         run_cfg.receiver = dataclasses.replace(
             run_cfg.receiver, tracking=pull_in, cruise_tracking=cruise)
     else:

@@ -106,6 +106,7 @@ def _tracking_setup(fs, n_channels, superblock, *, use_pallas=False,
         quantize_spacing=quantize, boundary_mode="rowsum",
         input_decimate=decimate, pass_a="closed",
         profile="kaplan",   # the production cruise profile (round 5)
+        kaplan_narrow_only=True,
     )
     _, state, _, _ = g._tracking_inputs(cfg, n_channels, seed=seed)
     prns = [(k % 32) + 1 for k in range(n_channels)]

@@ -67,7 +67,7 @@ def run_soak(seconds: int = 300, fs: float = 10e6, decimate: int = 4,
         quantize_spacing=quantize, **extra,
     )
     cruise_cfg = dataclasses.replace(
-        pull_in, profile="kaplan", block_ms=20,
+        pull_in, profile="kaplan", kaplan_narrow_only=True, block_ms=20,
         superblock=superblock) if cruise else None
     cfg = ReceiverConfig(
         prns=tuple(e.prn for e in sats),

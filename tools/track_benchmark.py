@@ -67,9 +67,12 @@ def _receiver_for(profile: str):
         sampling_frequency=FS, block_ms=5, tail_ms=4,
         window_size=4224, runtime="batch", profile="kaplan",
     )
-    cruise = None
     if profile == "borre":
         cruise = dataclasses.replace(pull_in, profile="borre", block_ms=20)
+    else:
+        # the production cruise: narrow-only kaplan at 20 ms blocks
+        cruise = dataclasses.replace(pull_in, profile="kaplan",
+                                     kaplan_narrow_only=True, block_ms=20)
     cfg = ReceiverConfig(
         prns=(PRN,), tracking=pull_in, cruise_tracking=cruise,
         tropo_enabled=False,
@@ -233,9 +236,9 @@ def pvt_sweep(cn0_list, profiles, seed0) -> list[dict]:
                 sampling_frequency=FS, tail_ms=4, window_size=4224,
                 runtime="batch", profile="kaplan", block_ms=5,
             )
-            cruise = (dataclasses.replace(pull_in, profile="borre",
-                                          block_ms=20)
-                      if profile == "borre" else None)
+            cruise = dataclasses.replace(
+                pull_in, profile=profile, block_ms=20,
+                kaplan_narrow_only=(profile == "kaplan"))
             cfg = ReceiverConfig(
                 prns=tuple(e.prn for e in sats),
                 tracking=pull_in, cruise_tracking=cruise,

@@ -226,7 +226,10 @@ def generate_report(
                     np.array([r["vx"], r["vy"], r["vz"]]), ref)
                 for r in vel_rows
             ])
-            drift = np.array([r["clock_drift"] for r in vel_rows])
+            # stored as s/s (nav/lse.py solve_velocity divides by c);
+            # render in range-rate units (m/s) to match the label
+            drift = np.array(
+                [r["clock_drift"] for r in vel_rows]) * 299792458.0
             fig, axes = plt.subplots(1, 2, figsize=(11, 3))
             for k, name in enumerate(("E", "N", "U")):
                 axes[0].plot(vt, venu[:, k], label=name)

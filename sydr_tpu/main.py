@@ -191,7 +191,8 @@ def main(argv=None) -> int:
         run_cfg.receiver, database_path=db_path)
 
     receiver = Receiver(run_cfg.receiver)
-    dash = Dashboard(receiver, enabled=not args.no_dashboard)
+    dash = Dashboard(receiver, enabled=not args.no_dashboard,
+                     total_ms=run_cfg.ms_to_process)
     block_ms = (run_cfg.receiver.tracking.block_ms
                 * run_cfg.receiver.tracking.superblock)
     # Feed ~500 ms per read (whole blocks); long dispatches feed one block.

@@ -474,8 +474,11 @@ def acquire(
     # mode on CPU is slower than the XLA map, so CPU keeps the XLA form
     # unless SYDR_ACQ_FUSED=1 forces it (tests do, for parity).
     fused_env = os.environ.get("SYDR_ACQ_FUSED")
+    # TPU-class backends only (pltpu memory spaces / roll don't lower on
+    # GPU); the axon dev tunnel reports itself as its own platform
+    backend = jax.default_backend()
     use_fused = (fused_env == "1" or (
-        fused_env != "0" and jax.default_backend() != "cpu"))
+        fused_env != "0" and ("tpu" in backend or backend == "axon")))
     if sp is not None and use_fused:
         phases, bin_shifts = sp
         corr = pcps_shift_map_fused(

@@ -53,10 +53,13 @@ def _cn0_meter(cn0: float, width: int = 6) -> str:
 
 class Dashboard:
     def __init__(self, receiver, stream=None, enabled=True,
-                 force: bool = False):
+                 force: bool = False, total_ms: int | None = None):
         self.rx = receiver
         self.stream = stream or sys.stderr
         self.enabled = enabled and (force or self.stream.isatty())
+        # run length for the progress bar (ms_to_process lives on
+        # RunConfig, not ReceiverConfig — callers pass it in)
+        self.total_ms = total_ms
         self._lines = 0
 
     def _flag_str(self, flags: int, ch) -> str:
@@ -97,7 +100,7 @@ class Dashboard:
         lines.append(header)
 
         # Progress bar against the configured run length when known.
-        total_ms = getattr(rx.cfg, "ms_to_process", None)
+        total_ms = self.total_ms
         if total_ms:
             frac = min(1.0, processed_s * 1e3 / total_ms)
             width = 40

@@ -349,12 +349,15 @@ class Receiver:
         # Integrated carrier (for Hatch smoothing): each tracked epoch spans
         # one code period (1 ms to within dop/f_L1), so the accumulated
         # Doppler cycles are sum(active * (f_carrier - f_IF)) * 1 ms.
-        if cfg.smoothing_time_s > 0:
-            f_if = cfg.tracking.intermediate_frequency
-            act = np.asarray(out["active"], dtype=bool)
-            cf = np.asarray(out["carrier_freq"], dtype=np.float64)
-            self._phase_cycles += 1e-3 * np.sum(
-                np.where(act, cf - f_if, 0.0), axis=0)
+        # (accumulated unconditionally since round 5: the L1C carrier-phase
+        # observable needs it even when Hatch smoothing is disabled —
+        # review finding: with smoothing_time_s=0 the exported L1C froze
+        # at its anchor)
+        f_if = cfg.tracking.intermediate_frequency
+        act = np.asarray(out["active"], dtype=bool)
+        cf = np.asarray(out["carrier_freq"], dtype=np.float64)
+        self._phase_cycles += 1e-3 * np.sum(
+            np.where(act, cf - f_if, 0.0), axis=0)
         # Log acquisition results once per handoff.
         for i, res in self.session.acq_results.items():
             key = (i, res["code_index"], round(res["doppler"]))

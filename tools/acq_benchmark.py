@@ -227,7 +227,8 @@ def main(argv=None) -> int:
     if args.out:
         cmd = "python tools/acq_benchmark.py " + " ".join(
             a for a in (argv if argv is not None else sys.argv[1:])
-            if a != "--out" and a != args.out)
+            if a != "--out" and a != args.out
+            and not a.startswith("--out="))
         with open(args.out, "w") as fh:
             fh.write("# Acquisition benchmark\n\n"
                      f"PRN {args.prn}, fs {args.fs/1e6:g} Msps, grid "

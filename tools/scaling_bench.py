@@ -66,11 +66,6 @@ else:
 
 import numpy as np  # noqa: E402
 
-COLLECTIVE_RE = re.compile(
-    r"\b(all-gather|all-reduce|collective-permute|all-to-all|"
-    r"reduce-scatter)\b")
-
-
 def _count_collectives(hlo_text: str) -> dict:
     """Occurrences of communication ops in optimized HLO, by kind.
 

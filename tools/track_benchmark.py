@@ -112,14 +112,21 @@ def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
     act_trace: list[np.ndarray] = []
 
     def run_ms(n_ms, collect):
+        # keep_outputs captures EVERY processed block (a 100 ms chunk
+        # spans five 20 ms cruise blocks; sampling only last_outputs
+        # integrated 1/5 of the hold and underestimated slips — round-5
+        # review finding)
+        rx.keep_outputs = collect
+        rx.block_outputs = []
         for _ in range(n_ms // chunk):
             rx.process_ms(gen.generate_ms(chunk))
-            if collect and rx.last_outputs is not None:
-                o = rx.last_outputs
-                cf_trace.append(np.asarray(o["carrier_freq"][:, 0]))
-                pll_trace.append(np.asarray(o["pll_lock"][:, 0]))
-                cn0_trace.append(np.asarray(o["cn0"][:, 0]))
-                act_trace.append(np.asarray(o["active"][:, 0]))
+            if collect:
+                for o in rx.block_outputs:
+                    cf_trace.append(np.asarray(o["carrier_freq"][:, 0]))
+                    pll_trace.append(np.asarray(o["pll_lock"][:, 0]))
+                    cn0_trace.append(np.asarray(o["cn0"][:, 0]))
+                    act_trace.append(np.asarray(o["active"][:, 0]))
+                rx.block_outputs = []
 
     run_ms(int(WARMUP_S * 1e3), collect=False)
     # for the cruise profile, hold 45 dB-Hz until promotion (bounded)
@@ -132,6 +139,7 @@ def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
     if rx.session.cruise_cfg is not None:
         locked_at_drop = locked_at_drop and rx.session.promoted
     n_bits_warm = len(decoded_bits)
+    ch_at_drop = rx.channels[0]   # a reacq reset REPLACES this object
     gen.set_cn0(PRN, cn0_dbhz)
     run_ms(int(HOLD_S * 1e3), collect=True)
 
@@ -145,7 +153,10 @@ def run_trial(cn0_dbhz: float, profile: str, seed: int) -> dict:
         if hasattr(rx.session, "state") else 0
     mode_end = int(rx.session.mode_host[0])
     # a reacquisition reset means the receiver itself declared lock lost
-    was_reset = rx.channels[0].n_codes < int(HOLD_S * 1e3 * 0.9)
+    # (a reset replaces the bookkeeping object, so identity is exact —
+    # the old n_codes threshold missed early-hold resets that
+    # re-accumulated past it)
+    was_reset = rx.channels[0] is not ch_at_drop
     out["retained"] = bool(
         mode_end == MODE_TRACKING and not was_reset
         and (flags & FLAG_CODE_LOCK))
@@ -324,7 +335,8 @@ def main(argv=None) -> int:
     if args.out:
         cmd = "python tools/track_benchmark.py " + " ".join(
             a for a in (argv if argv is not None else sys.argv[1:])
-            if a != "--out" and a != args.out)
+            if a != "--out" and a != args.out
+            and not a.startswith("--out="))
         mode = "PVT availability" if args.pvt else "channel sensitivity"
         with open(args.out, "a") as fh:
             fh.write(f"\n## {mode}\n\nExact command: `{cmd}`\n\n"
